@@ -1,0 +1,24 @@
+"""Test config: force an 8-device virtual CPU platform before JAX initializes,
+so multi-chip sharding tests run without TPU hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# XLA's DEFAULT matmul precision emulates TPU bf16 passes even on CPU; tests
+# verify exact math, so force true f32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

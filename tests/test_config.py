@@ -1,0 +1,51 @@
+import os
+
+import pytest
+
+from transhuman_tpu.config import Config
+
+REF_YAML = "/root/reference/configs/train_or_eval.yaml"
+
+
+def test_defaults_match_reference_protocol():
+    cfg = Config()
+    assert cfg.N_samples == 64
+    assert cfg.num_class == 300
+    assert cfg.KNN == 7
+    assert cfg.embed_size == 192
+    assert cfg.img_feat_size == 384
+    assert cfg.patch.N_patches == 6 and cfg.patch.size == 20
+    assert cfg.test.input_view == [0, 7, 15]
+    assert cfg.H_render == 512 and cfg.W_render == 512
+
+
+def test_merge_opts():
+    cfg = Config().merge_opts(["train.lr", "1e-3", "num_class", "500", "jitter", "False"])
+    assert cfg.train.lr == 1e-3
+    assert cfg.num_class == 500
+    assert cfg.jitter is False
+    # original untouched (functional update)
+    assert Config().num_class == 300
+
+
+def test_unknown_key_raises():
+    with pytest.raises(KeyError):
+        Config().merge_opts(["definitely_not_a_key", "1"])
+
+
+@pytest.mark.skipif(not os.path.exists(REF_YAML), reason="reference configs absent")
+def test_loads_reference_yaml():
+    cfg = Config.from_yaml(REF_YAML)
+    assert cfg.num_class == 300
+    assert cfg.vit_depth == 12
+    assert cfg.train.lr == 7e-4
+    assert cfg.train.scheduler.warmup_epochs == 300
+    assert cfg.test.mode == "model_x_motion_x"
+    assert cfg.patch.use_patch_sampling is True
+    assert cfg.time_mult == [0, -20, 20]
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/configs"), reason="no ref")
+def test_loads_all_reference_yamls():
+    for name in os.listdir("/root/reference/configs"):
+        Config.from_yaml(os.path.join("/root/reference/configs", name))

@@ -1,0 +1,287 @@
+"""Typed configuration tree.
+
+Replaces the reference's vendored-yacs global mutable singleton
+(`/root/reference/lib/config/config.py`, `lib/config/yacs.py`) with plain
+dataclasses threaded explicitly.  YAML files written for the reference
+(`configs/train_or_eval.yaml` et al.) load unchanged: key names and the
+CLI ``opts`` override list (``key value key value ...`` with dotted paths)
+are kept compatible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+
+def _parse_scalar(v: str) -> Any:
+    """Parse a CLI override string the way yacs' literal_eval merge did."""
+    if not isinstance(v, str):
+        return v
+    low = v.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("none", "null"):
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        pass
+    if v.startswith(("[", "(", "{")):
+        import ast
+
+        try:
+            return ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass
+    return v
+
+
+@dataclass
+class PatchConfig:
+    """Patch-based ray sampling (reference `configs/train_or_eval.yaml:71-76`)."""
+
+    use_patch_sampling: bool = True
+    sample_subject_ratio: float = 0.8
+    N_patches: int = 6
+    size: int = 20
+
+
+@dataclass
+class SchedulerConfig:
+    """Warmup + cosine LR schedule (reference `lib/train/scheduler.py:21-28`)."""
+
+    type: str = "cosine"
+    warmup_epochs: int = 300
+    decay_epochs: int = 3000
+    end_lr: float = 1e-6
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 1
+    lr: float = 7e-4
+    epoch: int = 3000
+    num_workers: int = 1
+    optim: str = "adam"
+    weight_decay: float = 0.0
+    shuffle: bool = True
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+
+
+@dataclass
+class TestConfig:
+    sampler: str = "FrameSampler"
+    batch_size: int = 1
+    collator: str = ""
+    epoch: int = -1
+    full_eval: bool = False
+    exp_folder_name: str = "debug"
+    time_det: int = 20
+    input_view: List[int] = field(default_factory=lambda: [0, 7, 15])
+    target_view: List[int] = field(default_factory=lambda: [3, 5, 10, 12, 18, 20])
+    mode: str = "model_x_motion_x"
+    frame_interval: int = 30  # FrameSampler decimation (reference samplers.py:150-155)
+
+
+@dataclass
+class Config:
+    """Top-level config. Defaults mirror `configs/train_or_eval.yaml` merged over
+    `lib/config/config.py:9-123` defaults."""
+
+    exp_name: str = "transhuman_tpu"
+    task: str = "transhuman"
+
+    # --- plugin selection (registry names, replacing *_module/_path pairs) ---
+    dataset: str = "zju"  # [zju | synthetic]
+    dataset_variant: str = "base"  # [base | perform | mesh]
+    network: str = "transhuman"
+    renderer: str = "clight"
+    trainer: str = "clight"
+    evaluator: str = "if_nerf"
+    visualizer: str = "perform"
+
+    # --- dataset options ---
+    ratio: float = 0.5
+    H: int = 1024
+    W: int = 1024
+    white_bkgd: bool = False
+    mask_bkgd: bool = True
+    N_rand: int = 1024
+    perturb: float = 1.0
+    train_num_views: int = 3
+    time_steps: int = 1
+    time_mult: List[int] = field(default_factory=lambda: [0, -20, 20])
+    data_root: str = "data/zju_mocap"
+    rasterize_root: str = "data/zju_rasterization"
+    smpl_dir: str = "data/smplx/smpl"
+    kmeans_dir: str = "data/kmeans_dict"
+    big_box: bool = False
+    rot_ratio: float = 0.0
+    vertices: str = "new_vertices"
+    params: str = "new_params"
+    use_viz_test: bool = True
+    rasterize: bool = True
+    jitter: bool = True
+    depth_map: bool = False
+    depth_vizmap: bool = False
+
+    # --- misc ---
+    gpus: List[int] = field(default_factory=lambda: [0])
+    seed: int = 123
+    use_record: bool = True
+    log_interval: int = 1
+    record_interval: int = 20
+    N_samples: int = 64
+    save_freq: int = 5
+    save_latest_ep: int = 5
+    ep_iter: int = 500
+    resume: bool = True
+    specified_resume: str = ""
+    run_mode: str = "train"  # ['train' | 'test']
+
+    # --- architecture ---
+    pretrained: bool = True
+    encoder_weights: str = ""  # converted ResNet18 weights (.npz); '' = random init
+    lpips_weights: str = ""  # converted LPIPS-VGG weights (.npz); '' = disable LPIPS
+    xyz_res: int = 10
+    view_res: int = 4
+    raw_noise_std: float = 0.0
+    vit_depth: int = 12
+    vit_variant: str = "tiny"  # [tiny | small | base] (vision_transformer.py:404-417)
+    num_class: int = 300  # TransHE token count
+    KNN: int = 7
+    KNN_FREQ: int = 10
+    KNN_DIST_ALPHA: float = 0.5
+    KNN_SIGMA: float = 0.25
+    use_truncation: bool = False
+
+    # --- TPU execution policy (new; no reference analog) ---
+    compute_dtype: str = "float32"  # [float32 | bfloat16] for the network forward
+    chunk_size: int = 32768  # points per inference chunk (if_clight_renderer.py:575)
+    cull_distance: float = 0.1  # SMPL-distance point cull (if_clight_renderer.py:442)
+    pad_bucket: int = 8192  # ray-count padding granularity for static shapes
+    use_pallas_knn: bool = True  # fused Pallas kNN kernel on TPU (kernels/knn.py)
+    mesh_axis_data: int = 1  # data-parallel mesh size (1 = single chip)
+    mesh_axis_rays: int = 1  # ray/sequence-parallel mesh size for inference
+
+    # --- ray sampling ---
+    patch: PatchConfig = field(default_factory=PatchConfig)
+    face_sample_ratio: float = 0.0
+    body_sample_ratio: float = 0.5
+    sample_fg_ratio: float = 0.7
+
+    # --- loss ---
+    l2rec_weight: float = 1.0
+    lpips_weight: float = 0.1
+
+    # --- mesh reconstruction ---
+    mesh_th: float = 20.0
+    voxel_size: List[float] = field(default_factory=lambda: [0.005, 0.005, 0.005])
+
+    # --- free-viewpoint rendering ---
+    render_views: int = 100
+
+    # --- output dirs ---
+    trained_model_dir: str = "data/trained_model"
+    record_dir: str = "data/record"
+    result_dir: str = "data/result"
+
+    train: TrainConfig = field(default_factory=TrainConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+
+    # ------------------------------------------------------------------
+    @property
+    def embed_size(self) -> int:
+        """ViT token dim; the reference writes this back into cfg at model build
+        (cross_transformer.py:91). Here it is derived from vit_variant."""
+        return {"tiny": 192, "small": 384, "base": 768}[self.vit_variant]
+
+    @property
+    def img_feat_size(self) -> int:
+        """Pixel-aligned feature channels: ResNet pyramid 64+64+128 plus the
+        128-ch color conv (encoder.py:85,123,144-146)."""
+        return 256 + 128
+
+    @property
+    def H_render(self) -> int:
+        return int(self.H * self.ratio)
+
+    @property
+    def W_render(self) -> int:
+        return int(self.W * self.ratio)
+
+    # ------------------------------------------------------------------
+    def merge_dict(self, d: dict) -> "Config":
+        return _merge_into(self, d)
+
+    def merge_opts(self, opts: List[str]) -> "Config":
+        """yacs merge_from_list compatible: ['a.b', '1', 'c', 'true', ...]."""
+        if not opts:
+            return self
+        assert len(opts) % 2 == 0, f"opts must be key/value pairs, got {opts}"
+        d: dict = {}
+        for k, v in zip(opts[0::2], opts[1::2]):
+            node = d
+            parts = k.split(".")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = _parse_scalar(v)
+        return self.merge_dict(d)
+
+    @classmethod
+    def from_yaml(cls, path: Optional[str] = None, opts: Optional[List[str]] = None) -> "Config":
+        cfg = cls()
+        if path:
+            import yaml
+
+            with open(path) as f:
+                loaded = yaml.safe_load(f) or {}
+            cfg = cfg.merge_dict(loaded)
+        if opts:
+            cfg = cfg.merge_opts(list(opts))
+        return cfg
+
+
+# Reference YAML keys that have no analog here (module paths handled by the
+# registry, GPU/global-iter bookkeeping handled by JAX) — silently ignored on load.
+_IGNORED_KEYS = {
+    "dataset_module", "dataset_path", "cross_transformer_network_module",
+    "cross_transformer_network_path", "renderer_module", "renderer_path",
+    "trainer_module", "trainer_path", "evaluator_module", "evaluator_path",
+    "visualizer_module", "visualizer_path", "global_iter", "flag_train",
+    "img_feat_size", "embed_size", "depth_root", "local_rank", "distributed",
+}
+
+# Reference keys whose values are remapped rather than copied verbatim.
+_RENAMED_KEYS = {}
+
+
+def _merge_into(obj, d: dict):
+    """Recursively merge a plain dict into a dataclass, returning a new one."""
+    if not dataclasses.is_dataclass(obj):
+        return d
+    fields = {f.name: f for f in dataclasses.fields(obj)}
+    updates = {}
+    for k, v in d.items():
+        if k in _IGNORED_KEYS:
+            continue
+        k = _RENAMED_KEYS.get(k, k)
+        if k == "dataset" and isinstance(v, str) and v not in ("zju", "synthetic"):
+            # reference YAML uses dataset: zju/h36m/thu; map unknowns to zju layout
+            v = "zju"
+        if k not in fields:
+            raise KeyError(f"Unknown config key: {k!r}")
+        cur = getattr(obj, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            updates[k] = _merge_into(cur, v)
+        else:
+            if isinstance(v, str):
+                v = _parse_scalar(v)
+            updates[k] = v
+    return dataclasses.replace(obj, **updates)
