@@ -3,7 +3,6 @@ so multi-chip sharding tests run without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +12,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The axon TPU-tunnel plugin ignores the JAX_PLATFORMS env var, so the env
+# alone does not keep tests off the (slow, single) TPU tunnel; the config
+# update is authoritative and must happen before backend initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
+jax.config.update("jax_platforms", "cpu")
 
 # XLA's DEFAULT matmul precision emulates TPU bf16 passes even on CPU; tests
 # verify exact math, so force true f32 accumulation.
