@@ -1,0 +1,155 @@
+"""End-to-end render pipeline smoke tests on tiny synthetic inputs (CPU).
+
+Mirrors BASELINE.json config-1 (single-frame render) at doll-house scale:
+random params, synthetic SMPL stand-in, 3 views, a handful of rays.
+Checks: shapes, finiteness, train path == chunked inference path on the same
+points, masked/padded rays -> exact zeros.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transhuman_tpu.geometry.clusters import ClusterSpec
+from transhuman_tpu.geometry.smpl import SMPLModel
+from transhuman_tpu.models.network import TransHumanNet
+from transhuman_tpu.render.pipeline import (
+    FrameInputs,
+    RayBundle,
+    RenderPipeline,
+    pad_rays,
+)
+
+V, H, W = 3, 32, 32
+NV = 120  # tiny vertex count
+NC = 12  # tiny cluster count
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    smpl = SMPLModel.synthetic(n_verts=NV)
+    cluster = ClusterSpec.from_kmeans(smpl.v_template, NC, iters=5)
+    model = TransHumanNet(embed_dim=24, vit_depth=2, vit_heads=2, knn_k=4)
+    pipe = RenderPipeline(
+        model, cluster, smpl.v_template, n_samples=8, chunk_rays=4
+    )
+
+    verts, _, T = smpl(np.zeros(72), np.zeros(10))
+    Rh = np.eye(3, dtype=np.float32)
+    Th = np.zeros(3, dtype=np.float32)
+
+    K = np.tile(
+        np.array([[[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]]], np.float32),
+        (V, 1, 1),
+    )
+    Rm = np.tile(np.eye(3, dtype=np.float32), (V, 1, 1))
+    Tm = np.tile(np.array([0, 0, 3.0], np.float32), (V, 1))
+
+    frame = FrameInputs(
+        images=jnp.asarray(rng.random((V, H, W, 3), dtype=np.float32)),
+        vizmaps=jnp.ones((V, NV), jnp.float32),
+        K=jnp.asarray(K),
+        R=jnp.asarray(Rm),
+        T=jnp.asarray(Tm),
+        verts_world=jnp.asarray(verts),
+        tar_verts_smpl=jnp.asarray(verts),
+        blend_rot=jnp.asarray(T[:, :3, :3]),
+        Rh=jnp.asarray(Rh),
+        Th=jnp.asarray(Th),
+    )
+
+    n_rays = 8
+    ray_o = np.tile(np.array([0, 0, -2.0], np.float32), (n_rays, 1))
+    dirs = rng.standard_normal((n_rays, 3)).astype(np.float32) * 0.05
+    dirs[:, 2] += 1.0
+    rays = RayBundle(
+        ray_o=jnp.asarray(ray_o),
+        ray_d=jnp.asarray(dirs),
+        near=jnp.full((n_rays,), 1.0, jnp.float32),
+        far=jnp.full((n_rays,), 3.0, jnp.float32),
+        mask=jnp.ones((n_rays,), bool),
+    )
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        frame.images,
+        jnp.zeros((NC, 3)),
+        jnp.zeros((16, 3)),
+        jnp.zeros((NC, 3)),
+        jnp.zeros((NC, 3, 3)),
+        jnp.zeros((16, 27)),
+    )
+    return pipe, params, frame, rays
+
+
+def test_train_path_shapes_finite(setup):
+    pipe, params, frame, rays = setup
+    out = pipe.render_train(params, frame, rays, rng=jax.random.PRNGKey(1))
+    assert out["rgb_map"].shape == (8, 3)
+    assert out["acc_map"].shape == (8,)
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_train_path_differentiable(setup):
+    pipe, params, frame, rays = setup
+
+    def loss(p):
+        out = pipe.render_train(p, frame, rays)
+        return jnp.mean(out["rgb_map"] ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+
+def test_inference_matches_train_path_without_cull(setup):
+    """With the cull distance set huge, the chunked inference path must equal
+    the one-shot (deterministic) train path on identical rays."""
+    pipe, params, frame, rays = setup
+    out_train = pipe.render_train(params, frame, rays, rng=None)
+    big = RenderPipeline.__new__(RenderPipeline)
+    big.__dict__.update(pipe.__dict__)
+    big.cull_distance = 1e9
+    out_inf = big.render_frame(params, frame, rays)
+    np.testing.assert_allclose(
+        np.asarray(out_inf["rgb_map"]),
+        np.asarray(out_train["rgb_map"]),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_inf["acc_map"]),
+        np.asarray(out_train["acc_map"]),
+        atol=1e-4,
+    )
+
+
+def test_padding_rays_render_zero(setup):
+    pipe, params, frame, rays = setup
+    padded = pad_rays(
+        RayBundle(*[np.asarray(x) for x in (rays.ray_o, rays.ray_d, rays.near, rays.far, rays.mask)]),
+        12,
+    )
+    out = pipe.render_frame(params, frame, jax.tree.map(jnp.asarray, padded))
+    assert out["rgb_map"].shape[0] == 12
+    np.testing.assert_array_equal(np.asarray(out["rgb_map"][8:]), 0.0)
+    np.testing.assert_array_equal(np.asarray(out["acc_map"][8:]), 0.0)
+
+
+def test_culling_zeroes_far_rays(setup):
+    """Rays whose samples are all far from the body must composite to zero."""
+    pipe, params, frame, _ = setup
+    n = 4
+    ray_o = np.tile(np.array([50.0, 50.0, -2.0], np.float32), (n, 1))
+    rays = RayBundle(
+        ray_o=jnp.asarray(ray_o),
+        ray_d=jnp.tile(jnp.asarray([0, 0, 1.0], jnp.float32), (n, 1)),
+        near=jnp.ones((n,), jnp.float32),
+        far=jnp.full((n,), 3.0, jnp.float32),
+        mask=jnp.ones((n,), bool),
+    )
+    out = pipe.render_frame(params, frame, rays)
+    np.testing.assert_array_equal(np.asarray(out["rgb_map"]), 0.0)

@@ -1,0 +1,67 @@
+"""Feature sampling + projection vs torch.grid_sample oracle.
+
+The oracle reproduces the reference's exact call pattern
+(if_clight_renderer.py:186-208): normalize uv with
+``uv * (S_f/(S_f-1))*2/S_img - 1`` then grid_sample(align_corners=True,
+padding_mode="border").
+"""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from transhuman_tpu.ops.sampling import project_points, sample_feature_map
+
+
+def torch_oracle(feat_vhwc, uv, image_shape):
+    v, h, w, c = feat_vhwc.shape
+    feat = torch.from_numpy(feat_vhwc).permute(0, 3, 1, 2)  # VCHW
+    scale = np.array([w, h]) / (np.array([w, h]) - 1) * 2.0 / np.array(
+        [image_shape[1], image_shape[0]]
+    )
+    grid = torch.from_numpy(uv * scale - 1.0).float().unsqueeze(2)  # (V,N,1,2)
+    out = F.grid_sample(
+        feat, grid, align_corners=True, mode="bilinear", padding_mode="border"
+    )
+    return out[:, :, :, 0].permute(0, 2, 1).numpy()  # (V, N, C)
+
+
+def test_sample_matches_grid_sample(rng):
+    v, h, w, c = 2, 16, 24, 5
+    feat = rng.standard_normal((v, h, w, c)).astype(np.float32)
+    img_shape = (32, 48)  # feature map at half image res
+    uv = np.stack(
+        [
+            rng.uniform(-4, img_shape[1] + 4, (v, 100)),  # x, deliberately OOB
+            rng.uniform(-4, img_shape[0] + 4, (v, 100)),  # y
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    got = np.asarray(sample_feature_map(feat, uv, img_shape))
+    want = torch_oracle(feat, uv, img_shape)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_sample_exact_at_integer_coords(rng):
+    feat = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+    xs, ys = np.meshgrid(np.arange(8), np.arange(8))
+    uv = np.stack([xs.ravel(), ys.ravel()], -1)[None].astype(np.float32)
+    got = np.asarray(sample_feature_map(feat, uv, (8, 8)))
+    want = feat[0, ys.ravel(), xs.ravel()]
+    np.testing.assert_allclose(got[0], want, atol=1e-5)
+
+
+def test_project_points_matches_manual(rng):
+    K = np.array([[[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]]], np.float32)
+    theta = 0.3
+    R = np.array(
+        [[[np.cos(theta), -np.sin(theta), 0], [np.sin(theta), np.cos(theta), 0], [0, 0, 1]]],
+        np.float32,
+    )
+    T = np.array([[0.1, -0.2, 3.0]], np.float32)
+    xyz = rng.standard_normal((50, 3)).astype(np.float32)
+    uv, z = project_points(xyz, K, R, T)
+    cam = xyz @ R[0].T + T[0]
+    pix = cam @ K[0].T
+    np.testing.assert_allclose(np.asarray(uv)[0], pix[:, :2] / pix[:, 2:], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(z)[0], cam[:, 2], rtol=1e-5)

@@ -1,0 +1,68 @@
+"""Brute-force k-nearest-neighbour ops, designed for the TPU MXU.
+
+Replaces pytorch3d's CUDA `knn_points` at its three reference call sites
+(SURVEY.md §2.3):
+  (a) DPaRF K=7 point->cluster binding       cross_transformer.py:170
+  (b) inference culling K=1 vs 6890 verts    if_clight_renderer.py:440
+  (c) mesh-grid culling                      if_mesh_renderer.py:53
+
+Design: with at most ~6890 reference points, the distance matrix row block
+is small; `d2 = |p|^2 + |r|^2 - 2 p.r^T` puts the dominant term on the MXU
+as a (N x 3) @ (3 x R) matmul, and the top-k over <=6890 columns runs on
+the VPU via `lax.top_k`.  No CUDA-style two-pass selection needed.
+
+For DPaRF aggregation the K=7 softmax weights are additionally scattered
+into a dense (N, C) matrix so the token aggregation becomes one
+(N x C) @ (C x D) MXU matmul instead of a gather (see models/heads.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_dist2(pts, refs, precision=None):
+    """Squared euclidean distances. pts: (N,3), refs: (R,3) -> (N,R).
+
+    Clamped at 0 to absorb the catastrophic cancellation of the expanded
+    form (|p-r|^2 computed as |p|^2+|r|^2-2pr can go slightly negative).
+    """
+    p2 = jnp.sum(pts * pts, axis=-1, keepdims=True)  # (N,1)
+    r2 = jnp.sum(refs * refs, axis=-1)  # (R,)
+    cross = jnp.matmul(pts, refs.T, precision=precision)  # (N,R) on the MXU
+    return jnp.maximum(p2 + r2[None, :] - 2.0 * cross, 0.0)
+
+
+def knn(pts, refs, k: int, precision=None):
+    """k nearest refs per point: returns (dist, idx), dist = euclidean (sqrt'd),
+    ascending, shapes (N,k)."""
+    d2 = pairwise_dist2(pts, refs, precision=precision)
+    neg_top, idx = jax.lax.top_k(-d2, k)
+    return jnp.sqrt(-neg_top), idx
+
+
+def min_dist(pts, refs, precision=None):
+    """Distance to the nearest ref per point: (N,).  The K=1 culling kNN
+    (if_clight_renderer.py:440) only ever uses the distance, so skip top_k."""
+    d2 = pairwise_dist2(pts, refs, precision=precision)
+    return jnp.sqrt(jnp.min(d2, axis=-1))
+
+
+def knn_softmax_weights(dist, alpha: float):
+    """softmax(-dist/alpha) over the K axis (cross_transformer.py:151-156)."""
+    return jax.nn.softmax(-dist / alpha, axis=-1)
+
+
+def dense_weight_matrix(idx, weights, num_refs: int):
+    """Scatter per-point top-k weights into a dense (N, num_refs) matrix.
+
+    idx: (N,k) int32; weights: (N,k).  Rows sum to whatever `weights` rows
+    sum to (1.0 after softmax).  Enables aggregation-as-matmul: with
+    W = dense_weight_matrix(...), the kNN-weighted token pooling
+    `sum_k w_k * token[idx_k]` is exactly `W @ tokens` — an MXU matmul
+    instead of a (N,k,D) gather + reduction.
+    """
+    N, k = idx.shape
+    onehot = jax.nn.one_hot(idx, num_refs, dtype=weights.dtype)  # (N,k,R)
+    return jnp.einsum("nk,nkr->nr", weights, onehot)

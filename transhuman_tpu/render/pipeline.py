@@ -1,0 +1,254 @@
+"""The jitted render pipelines: painting -> TransHE -> DPaRF/NeRF queries.
+
+Capability parity with the reference renderer
+(`lib/networks/renderer/if_clight_renderer.py`):
+
+* prologue  = paint_neural_human + can_body_grouping + ViT
+  (:95-184, :415-427, :534-538): encode the V reference views, project the
+  SMPL vertices into each, bilinearly sample the holder feature map,
+  visibility-mask, mean-pool into cluster tokens, refine with TransHE.
+* train path = `render` (:486-498): one fused evaluation of all
+  rays x samples points (2400 x 64 by default — no chunking, exactly like
+  the reference's `ray_o.size(1) <= 2400` branch at :551).
+* inference path = `render_fast` (:429-484) + `batchify_rays` (:607-656):
+  SMPL-distance culling (points farther than 0.1 m from the target-pose
+  body are skipped) and fixed-size chunking.
+
+TPU-native design:
+* Everything is static-shape.  The reference compacts valid rays with
+  boolean indexing (dynamic shapes); here invalid/padded entries ride along
+  with a mask and contribute raw=0 — identical outputs, jit-compatible.
+* The chunk loop is `lax.map` over a (num_chunks, chunk_rays, ...) reshape —
+  a compiled scan, not a Python loop; one compilation for any frame.
+* Cluster pooling is a (C x 6890) matmul (MXU), not a per-cluster loop.
+* The SMPL culling distance runs on the MXU via ops/knn.min_dist inside the
+  chunk body, so the (chunk x 6890) distance matrix never hits HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..geometry.clusters import ClusterSpec, normalize_positions
+from ..models.embedder import embed_viewdir
+from ..ops.knn import min_dist
+from ..ops.sampling import project_points, sample_feature_map
+from .volume import composite, sample_along_rays
+
+
+@struct.dataclass
+class FrameInputs:
+    """Per-frame device inputs (batch contract of SURVEY.md §2.2-D, unbatched).
+
+    V = number of reference views, Nv = 6890 SMPL vertices.
+    """
+
+    images: jax.Array  # (V, H, W, 3) float, masked-out background
+    vizmaps: jax.Array  # (V, Nv) float {0,1} vertex visibility per view
+    K: jax.Array  # (V, 3, 3) intrinsics (at render resolution)
+    R: jax.Array  # (V, 3, 3) world->cam rotations
+    T: jax.Array  # (V, 3) translations
+    verts_world: jax.Array  # (Nv, 3) painting-frame SMPL vertices, world coords
+    tar_verts_smpl: jax.Array  # (Nv, 3) target-pose SMPL vertices, SMPL coords
+    blend_rot: jax.Array  # (Nv, 3, 3) rotation blocks of target blend matrices
+    Rh: jax.Array  # (3, 3) target world->smpl rotation
+    Th: jax.Array  # (3,) target world->smpl translation
+
+
+@struct.dataclass
+class RayBundle:
+    ray_o: jax.Array  # (R, 3)
+    ray_d: jax.Array  # (R, 3)
+    near: jax.Array  # (R,)
+    far: jax.Array  # (R,)
+    mask: jax.Array  # (R,) bool — False for padding rays
+
+
+@struct.dataclass
+class Prologue:
+    """Per-frame quantities shared by every ray chunk."""
+
+    tokens: jax.Array  # (V, C, D) TransHE-refined cluster tokens
+    pixel_map: jax.Array  # (V, H, W, 384)
+    centers: jax.Array  # (C, 3) cluster centers, SMPL coords (target pose)
+    rot: jax.Array  # (C, 3, 3) pooled blend rotations
+
+
+class RenderPipeline:
+    """Stateless function factory closing over static model/cluster config."""
+
+    def __init__(
+        self,
+        model,
+        cluster: ClusterSpec,
+        canonical_verts: np.ndarray,
+        n_samples: int = 64,
+        chunk_rays: int = 512,
+        cull_distance: float = 0.1,
+        white_bkgd: bool = False,
+        raw_noise_std: float = 0.0,
+        pe_box: float = 1.5,
+    ):
+        self.model = model
+        self.n_samples = n_samples
+        self.chunk_rays = chunk_rays
+        self.cull_distance = cull_distance
+        self.white_bkgd = white_bkgd
+        self.raw_noise_std = raw_noise_std
+        self.pool = jnp.asarray(cluster.pool_matrix)  # (C, Nv)
+        # canonical-centroid positional encoding input, normalized to the
+        # fixed [-pe_box, pe_box]^3 box (if_clight_renderer.py:50,373-383)
+        pe_can = cluster.pool_matrix @ np.asarray(canonical_verts, np.float32)
+        self.pe_can = jnp.asarray(normalize_positions(pe_can, pe_box))
+
+    # -- prologue ------------------------------------------------------
+    def prologue(self, params, frame: FrameInputs) -> Prologue:
+        holder_map, pixel_map = self.model.apply(
+            params, frame.images, method="encode_views"
+        )
+        uv, _ = project_points(frame.verts_world, frame.K, frame.R, frame.T)
+        image_shape = frame.images.shape[1:3]
+        latent = sample_feature_map(holder_map, uv, image_shape)  # (V, Nv, D)
+        holder = latent * frame.vizmaps[..., None].astype(latent.dtype)
+        tokens = jnp.einsum("cv,Vvd->Vcd", self.pool.astype(latent.dtype), holder)
+        tokens = self.model.apply(
+            params, tokens, self.pe_can, method="refine_tokens"
+        )
+        centers = self.pool @ frame.tar_verts_smpl  # (C, 3)
+        rot = jnp.einsum("cv,vij->cij", self.pool, frame.blend_rot)
+        return Prologue(tokens=tokens, pixel_map=pixel_map, centers=centers, rot=rot)
+
+    # -- point decoding ------------------------------------------------
+    def query_points(
+        self,
+        params,
+        frame: FrameInputs,
+        pro: Prologue,
+        pts_world,
+        viewdir_embed,
+        pts_mask=None,
+    ):
+        """pts_world (N,3), viewdir_embed (N,27) -> raw (N,4)."""
+        pts_smpl = (pts_world - frame.Th) @ frame.Rh
+        uv, _ = project_points(pts_world, frame.K, frame.R, frame.T)
+        image_shape = frame.images.shape[1:3]
+        pixel_feat = sample_feature_map(pro.pixel_map, uv, image_shape)
+        return self.model.apply(
+            params,
+            pts_smpl,
+            pro.centers,
+            pro.rot,
+            pro.tokens,
+            pixel_feat,
+            viewdir_embed,
+            pts_mask,
+            method="query",
+        )
+
+    # -- training path (one fused evaluation, no chunking) -------------
+    def render_train(self, params, frame: FrameInputs, rays: RayBundle, rng=None):
+        """All rays in one shot — the <=2400-ray branch of the reference."""
+        pts, z_vals = sample_along_rays(
+            rays.ray_o, rays.ray_d, rays.near, rays.far, self.n_samples, rng
+        )
+        r, s = z_vals.shape
+        pro = self.prologue(params, frame)
+        viewdir = rays.ray_d / jnp.linalg.norm(rays.ray_d, axis=-1, keepdims=True)
+        vde = embed_viewdir(viewdir)  # (R, 27)
+        vde = jnp.broadcast_to(vde[:, None, :], (r, s, vde.shape[-1])).reshape(
+            r * s, -1
+        )
+        pts_mask = jnp.broadcast_to(rays.mask[:, None], (r, s)).reshape(-1)
+        raw = self.query_points(
+            params, frame, pro, pts.reshape(r * s, 3), vde, pts_mask
+        )
+        out = composite(
+            raw.reshape(r, s, 4).astype(jnp.float32),
+            z_vals,
+            rays.ray_d,
+            self.white_bkgd,
+            self.raw_noise_std,
+            rng,
+        )
+        return out
+
+    # -- inference path (chunk scan + SMPL culling) ---------------------
+    def render_frame(self, params, frame: FrameInputs, rays: RayBundle):
+        """Full-frame render: rays padded to a multiple of chunk_rays.
+
+        Returns rgb/acc/depth maps over all R input rays (padding rays -> 0),
+        matching render_fast's scatter-back semantics
+        (if_clight_renderer.py:468-482).
+        """
+        r = rays.ray_o.shape[0]
+        s = self.n_samples
+        cr = self.chunk_rays
+        assert r % cr == 0, f"ray count {r} must be padded to a multiple of {cr}"
+        n_chunks = r // cr
+
+        pro = self.prologue(params, frame)
+        viewdir = rays.ray_d / jnp.linalg.norm(rays.ray_d, axis=-1, keepdims=True)
+        vde = embed_viewdir(viewdir)  # (R, 27)
+
+        pts, z_vals = sample_along_rays(
+            rays.ray_o, rays.ray_d, rays.near, rays.far, s
+        )  # (R, S, 3)
+
+        def chunk_body(chunk):
+            c_pts, c_vde, c_rmask = chunk  # (cr,S,3), (cr,27), (cr,)
+            flat_pts = c_pts.reshape(cr * s, 3)
+            pts_smpl = (flat_pts - frame.Th) @ frame.Rh
+            near_body = (
+                min_dist(pts_smpl, frame.tar_verts_smpl) < self.cull_distance
+            )
+            mask = near_body & jnp.repeat(c_rmask, s)
+            c_vde_b = jnp.broadcast_to(
+                c_vde[:, None, :], (cr, s, c_vde.shape[-1])
+            ).reshape(cr * s, -1)
+            raw = self.query_points(params, frame, pro, flat_pts, c_vde_b, mask)
+            return raw.reshape(cr, s, 4).astype(jnp.float32)
+
+        chunks = (
+            pts.reshape(n_chunks, cr, s, 3),
+            vde.reshape(n_chunks, cr, -1),
+            rays.mask.reshape(n_chunks, cr),
+        )
+        raw = jax.lax.map(chunk_body, chunks)  # (n_chunks, cr, S, 4)
+        out = composite(
+            raw.reshape(r, s, 4), z_vals, rays.ray_d, self.white_bkgd
+        )
+        del out["weights"]
+        # zero padding rays explicitly (they carry arbitrary near/far)
+        m = rays.mask
+        return {
+            "rgb_map": out["rgb_map"] * m[:, None],
+            "acc_map": out["acc_map"] * m,
+            "depth_map": out["depth_map"] * m,
+        }
+
+
+def pad_rays(rays: RayBundle, multiple: int) -> RayBundle:
+    """Host-side: pad a RayBundle to a multiple of `multiple` rays."""
+    r = rays.ray_o.shape[0]
+    pad = (-r) % multiple
+    if pad == 0:
+        return rays
+    f = partial(np.pad, pad_width=((0, pad), (0, 0)))
+    g = partial(np.pad, pad_width=(0, pad))
+    return RayBundle(
+        ray_o=f(np.asarray(rays.ray_o)),
+        ray_d=f(np.asarray(rays.ray_d)) + np.concatenate(
+            [np.zeros((r, 3), np.float32), np.tile(np.array([[0, 0, 1]], np.float32), (pad, 1))]
+        ),  # unit z for padding rays: keeps norms finite
+        near=g(np.asarray(rays.near)),
+        far=g(np.asarray(rays.far)) + np.concatenate(
+            [np.zeros(r, np.float32), np.full(pad, 1e-3, np.float32)]
+        ),
+        mask=np.concatenate([np.asarray(rays.mask), np.zeros(pad, bool)]),
+    )
