@@ -1,0 +1,133 @@
+"""Train-step tests on the virtual 8-device CPU mesh.
+
+Checks: a step runs and updates params; the 8-way data-parallel step produces
+the same update as the single-device step on the same global batch (= DDP
+allreduce semantics); the LR schedule matches the reference shape."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transhuman_tpu.geometry.clusters import ClusterSpec
+from transhuman_tpu.geometry.smpl import SMPLModel
+from transhuman_tpu.models.network import TransHumanNet
+from transhuman_tpu.parallel import make_mesh, shard_batch
+from transhuman_tpu.render.pipeline import FrameInputs, RayBundle, RenderPipeline
+from transhuman_tpu.train import (
+    TrainSample,
+    make_optimizer,
+    make_train_step,
+    warmup_cosine_epoch_schedule,
+)
+from transhuman_tpu.train.step import init_state
+
+V, H, W, NV, NC, NR, NS = 3, 16, 16, 60, 8, 16, 4
+PS = 4  # patch size; 1 patch of 4x4 = 16 rays
+
+
+def make_sample(seed):
+    rng = np.random.default_rng(seed)
+    smpl = SMPLModel.synthetic(n_verts=NV)
+    verts, _, T = smpl(np.zeros(72), np.zeros(10))
+    frame = FrameInputs(
+        images=rng.random((V, H, W, 3)).astype(np.float32),
+        vizmaps=np.ones((V, NV), np.float32),
+        K=np.tile(np.array([[[20.0, 0, 8], [0, 20.0, 8], [0, 0, 1]]], np.float32), (V, 1, 1)),
+        R=np.tile(np.eye(3, dtype=np.float32), (V, 1, 1)),
+        T=np.tile(np.array([0, 0, 3.0], np.float32), (V, 1)),
+        verts_world=verts,
+        tar_verts_smpl=verts,
+        blend_rot=T[:, :3, :3],
+        Rh=np.eye(3, dtype=np.float32),
+        Th=np.zeros(3, np.float32),
+    )
+    dirs = rng.standard_normal((NR, 3)).astype(np.float32) * 0.05
+    dirs[:, 2] += 1.0
+    rays = RayBundle(
+        ray_o=np.tile(np.array([0, 0, -2.0], np.float32), (NR, 1)),
+        ray_d=dirs,
+        near=np.full(NR, 1.0, np.float32),
+        far=np.full(NR, 3.0, np.float32),
+        mask=np.ones(NR, bool),
+    )
+    return TrainSample(
+        frame=frame,
+        rays=rays,
+        target_patches=rng.random((1, PS, PS, 3)).astype(np.float32),
+        ray_pixel_idx=np.arange(NR, dtype=np.int32),
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    smpl = SMPLModel.synthetic(n_verts=NV)
+    cluster = ClusterSpec.from_kmeans(smpl.v_template, NC, iters=3)
+    model = TransHumanNet(embed_dim=12, vit_depth=1, vit_heads=2, knn_k=3)
+    pipe = RenderPipeline(model, cluster, smpl.v_template, n_samples=NS, chunk_rays=8)
+    sample = make_sample(0)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(sample.frame.images),
+        jnp.zeros((NC, 3)),
+        jnp.zeros((4, 3)),
+        jnp.zeros((NC, 3)),
+        jnp.zeros((NC, 3, 3)),
+        jnp.zeros((4, 27)),
+    )
+    return pipe, params
+
+
+def stack_samples(samples):
+    return jax.tree.map(lambda *xs: np.stack(xs), *samples)
+
+
+def test_step_runs_and_updates(tiny):
+    pipe, params = tiny
+    tx, _ = make_optimizer(iters_per_epoch=2)
+    step = make_train_step(pipe, tx, donate=False)
+    state = init_state(params, tx)
+    batch = stack_samples([make_sample(i) for i in range(1)])
+    new_state, stats = step(state, batch, jax.random.PRNGKey(0))
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(stats["loss"]))
+    diff = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).sum(), state.params, new_state.params)
+    assert sum(jax.tree.leaves(diff)) > 0
+
+
+def test_dp8_matches_single_device(tiny):
+    pipe, params = tiny
+    samples = [make_sample(i) for i in range(8)]
+    batch = stack_samples(samples)
+
+    tx, _ = make_optimizer(iters_per_epoch=2)
+    # deterministic comparison: drop stochastic depth jitter by fixed rng
+    rng = jax.random.PRNGKey(42)
+
+    step1 = make_train_step(pipe, tx, mesh=make_mesh(1), donate=False)
+    state1, _ = step1(init_state(params, tx), batch, rng)
+
+    mesh8 = make_mesh(8)
+    step8 = make_train_step(pipe, tx, mesh=mesh8, donate=False)
+    state8, _ = step8(init_state(params, tx), shard_batch(mesh8, batch), rng)
+
+    # per-sample rngs fold by *global* index, so both layouts evaluate the
+    # exact same stochastic renders; only fp reduction order differs.
+    a = jax.tree.leaves(jax.tree.map(lambda x: np.asarray(x), state1.params))
+    b = jax.tree.leaves(jax.tree.map(lambda x: np.asarray(x), state8.params))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=1e-5)
+
+
+def test_lr_schedule_shape():
+    sched = warmup_cosine_epoch_schedule(7e-4, 1e-6, 300, 3000, 500)
+    # warmup is linear per epoch
+    assert abs(float(sched(0)) - 7e-4 / 300) < 1e-9
+    assert abs(float(sched(150 * 500)) - 7e-4 * 151 / 300) < 1e-9
+    # end of warmup reaches base lr
+    assert abs(float(sched(300 * 500)) - 7e-4) < 1e-7
+    # final epoch ~ end_lr
+    assert abs(float(sched(2999 * 500)) - 1e-6) < 1e-6
+    # monotone decreasing after warmup
+    xs = [float(sched(e * 500)) for e in range(300, 3000, 270)]
+    assert all(x >= y for x, y in zip(xs, xs[1:]))

@@ -42,11 +42,30 @@ def knn(pts, refs, k: int, precision=None):
     return jnp.sqrt(-neg_top), idx
 
 
-def min_dist(pts, refs, precision=None):
+def min_dist(pts, refs, precision=None, ref_block: int = 1024):
     """Distance to the nearest ref per point: (N,).  The K=1 culling kNN
-    (if_clight_renderer.py:440) only ever uses the distance, so skip top_k."""
-    d2 = pairwise_dist2(pts, refs, precision=precision)
-    return jnp.sqrt(jnp.min(d2, axis=-1))
+    (if_clight_renderer.py:440) only ever uses the distance, so skip top_k.
+
+    The reduction is blocked over refs (`ref_block` columns at a time, via
+    lax.scan) so the (N, R) distance matrix never materializes — for the
+    5.6M-point full-frame cull vs 6890 verts that matrix would be GBs; the
+    blocked form keeps the live intermediate at N x ref_block.
+    """
+    r = refs.shape[0]
+    if r <= ref_block:
+        d2 = pairwise_dist2(pts, refs, precision=precision)
+        return jnp.sqrt(jnp.min(d2, axis=-1))
+    pad = (-r) % ref_block
+    refs_p = jnp.pad(refs, ((0, pad), (0, 0)), constant_values=1e10)
+    blocks = refs_p.reshape(-1, ref_block, 3)
+
+    def body(carry, blk):
+        d2 = pairwise_dist2(pts, blk, precision=precision)
+        return jnp.minimum(carry, jnp.min(d2, axis=-1)), None
+
+    init = jnp.full(pts.shape[:1], jnp.inf, pts.dtype)
+    out, _ = jax.lax.scan(body, init, blocks)
+    return jnp.sqrt(out)
 
 
 def knn_softmax_weights(dist, alpha: float):

@@ -1,0 +1,56 @@
+"""Device mesh construction and batch sharding.
+
+Replaces the reference's distributed layer (NCCL process group
+`train_net.py:116-123`, DDP gradient allreduce `trainer.py:28-33`,
+rank-sharded sampling `samplers.py:73-133`) with the JAX SPMD equivalents:
+one process drives a `Mesh` over all local (or distributed) devices; the
+train step runs under `shard_map` with the batch sharded over the `data`
+axis and gradients reduced by `lax.pmean` over ICI.
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh()` and the
+same code spans hosts (DCN between hosts, ICI within) — data loading then
+shards per-process exactly like the reference's DistributedSampler, via
+`process_shard` indices.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh ('data',). n_data defaults to all devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is not None:
+        devices = devices[:n_data]
+    return Mesh(np.array(devices), ("data",))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a batch pytree (leading axis = global batch) sharded over 'data'."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def process_shard(n_items: int, shuffle_rng: Optional[np.random.Generator] = None):
+    """Per-process item indices — the DistributedSampler analog
+    (samplers.py:88-133): contiguous shard of a (optionally shuffled) range."""
+    idx = np.arange(n_items)
+    if shuffle_rng is not None:
+        shuffle_rng.shuffle(idx)
+    n_proc = jax.process_count()
+    per = int(np.ceil(n_items / n_proc))
+    # pad by wrapping so every process gets `per` items (keeps steps aligned)
+    pad = per * n_proc - n_items
+    if pad:
+        idx = np.concatenate([idx, idx[:pad]])
+    return idx[jax.process_index() * per : (jax.process_index() + 1) * per]
