@@ -1,0 +1,159 @@
+"""ZJU dataset layer tests against a fake on-disk dataset in the reference's
+directory layout (annots.npy / Camera_BN / mask / new_vertices / new_params /
+rasterization visibility)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from transhuman_tpu.config import Config
+from transhuman_tpu.data.loader import Loader
+from transhuman_tpu.data.ray_sampling import sample_eval_rays, sample_train_rays
+from transhuman_tpu.data.zju import ZJUDataset
+from transhuman_tpu.geometry.smpl import SMPLModel
+
+NC, NF, NV_VERTS = 3, 4, 60
+H_FULL, W_FULL = 64, 64
+
+
+@pytest.fixture(scope="module")
+def fake_zju(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("zju")
+    human = "CoreView_901"
+    hdir = root / human
+    rng = np.random.default_rng(0)
+    smpl = SMPLModel.synthetic(n_verts=NV_VERTS)
+
+    cams = {"K": [], "D": [], "R": [], "T": []}
+    for c in range(NC):
+        cams["K"].append(
+            np.array([[60.0, 0, W_FULL / 2], [0, 60.0, H_FULL / 2], [0, 0, 1]])
+        )
+        cams["D"].append(np.zeros((5, 1)))
+        th = 2 * np.pi * c / NC
+        R = np.array(
+            [[np.cos(th), 0, -np.sin(th)], [0, 1, 0], [np.sin(th), 0, np.cos(th)]]
+        )
+        cam_pos = np.array([-2.5 * np.sin(th), 0, -2.5 * np.cos(th)])
+        cams["R"].append(R)
+        cams["T"].append((-R @ cam_pos).reshape(3, 1) * 1000.0)
+
+    ims = []
+    for f in range(NF):
+        frame = {"ims": [f"Camera_B{c + 1}/{f:06d}.jpg" for c in range(NC)]}
+        ims.append(frame)
+        verts, _, _ = smpl(rng.standard_normal(72) * 0.05, np.zeros(10))
+        os.makedirs(hdir / "new_vertices", exist_ok=True)
+        os.makedirs(hdir / "new_params", exist_ok=True)
+        np.save(hdir / "new_vertices" / f"{f}.npy", verts)
+        np.save(
+            hdir / "new_params" / f"{f}.npy",
+            {
+                "poses": rng.standard_normal((1, 72)).astype(np.float32) * 0.05,
+                "shapes": np.zeros((1, 10), np.float32),
+                "Rh": rng.standard_normal((1, 3)).astype(np.float32) * 0.1,
+                "Th": rng.standard_normal((1, 3)).astype(np.float32) * 0.1,
+            },
+        )
+        for c in range(NC):
+            cdir = hdir / f"Camera_B{c + 1}"
+            os.makedirs(cdir, exist_ok=True)
+            img = rng.integers(0, 255, (H_FULL, W_FULL, 3), dtype=np.uint8)
+            cv2.imwrite(str(cdir / f"{f:06d}.jpg"), img)
+            mdir = hdir / "mask" / f"Camera_B{c + 1}"
+            os.makedirs(mdir, exist_ok=True)
+            msk = np.zeros((H_FULL, W_FULL), np.uint8)
+            msk[16:48, 20:44] = 1
+            cv2.imwrite(str(mdir / f"{f:06d}.png"), msk * 255)
+            vdir = root / "raster" / human / "visibility" / f"Camera_B{c + 1}"
+            os.makedirs(vdir, exist_ok=True)
+            np.save(vdir / f"{f:06d}.npy", rng.random(NV_VERTS) > 0.3)
+
+    np.save(hdir / "annots.npy", {"cams": cams, "ims": ims})
+
+    cfg = Config().merge_dict(
+        {
+            "data_root": str(root),
+            "rasterize_root": str(root / "raster"),
+            "ratio": 0.5,
+            "train_num_views": 2,
+            "test": {"input_view": [0, 1], "target_view": [2]},
+            "patch": {"N_patches": 2, "size": 8},
+        }
+    )
+    info = {"CoreView_901": {"begin_i": 0, "i_intv": 1, "ni": NF}}
+    return cfg, smpl, info
+
+
+def test_train_sample_contract(fake_zju):
+    cfg, smpl, info = fake_zju
+    ds = ZJUDataset(cfg, "train", smpl=smpl, human_info=info)
+    assert len(ds) == NF * NC
+    ds.set_epoch(3)
+    s = ds.get_train_sample(0)
+    v, hw = 2, 32
+    assert s.frame.images.shape == (v, hw, hw, 3)
+    assert s.frame.vizmaps.shape == (v, NV_VERTS)
+    assert s.frame.blend_rot.shape == (NV_VERTS, 3, 3)
+    cap = 2 * 8 * 8
+    assert s.rays.ray_o.shape == (cap, 3)
+    assert s.ray_pixel_idx.shape == (cap,)
+    assert s.target_patches.shape == (2, 8, 8, 3)
+    # valid rays have pixel indices in range, padding has -1
+    m = s.rays.mask
+    assert (s.ray_pixel_idx[m] >= 0).all()
+    assert (s.ray_pixel_idx[~m] == -1).all()
+    assert (s.rays.far[m] > s.rays.near[m]).all()
+    # images are background-masked
+    assert float(s.frame.images.min()) >= 0.0
+
+
+def test_train_sample_epoch_determinism(fake_zju):
+    cfg, smpl, info = fake_zju
+    ds = ZJUDataset(cfg, "train", smpl=smpl, human_info=info)
+    ds.set_epoch(1)
+    a = ds.get_train_sample(2)
+    b = ds.get_train_sample(2)
+    np.testing.assert_array_equal(a.rays.ray_o, b.rays.ray_o)
+    np.testing.assert_array_equal(a.target_patches, b.target_patches)
+    ds.set_epoch(2)
+    c = ds.get_train_sample(2)
+    assert not np.array_equal(a.target_patches, c.target_patches) or not np.array_equal(
+        a.frame.images, c.frame.images
+    )
+
+
+def test_eval_item_contract(fake_zju):
+    cfg, smpl, info = fake_zju
+    ds = ZJUDataset(cfg, "test", smpl=smpl, human_info=info)
+    assert len(ds) == NF  # single target view
+    item = ds.get_eval_item(0)
+    r = item.eval_rays
+    assert r.rays.ray_o.shape[0] == r.pix_idx.shape[0] == r.rgb.shape[0]
+    assert r.rays.ray_o.shape[0] > 0
+    assert r.mask_at_box.shape == (32 * 32,)
+    assert item.human_idx == 0 and item.cam_ind == 2
+    # rgb values come from the bbox region of the target image
+    np.testing.assert_allclose(
+        r.rgb, item.target_img.reshape(-1, 3)[r.mask_at_box], atol=0
+    )
+
+
+def test_frame_sampler(fake_zju):
+    cfg, smpl, info = fake_zju
+    ds = ZJUDataset(cfg, "test", smpl=smpl, human_info=info)
+    idx_full = ds.frame_sampler_indices(full_eval=True)
+    assert len(idx_full) == NF
+    idx_dec = ds.frame_sampler_indices(full_eval=False)
+    assert len(idx_dec) == 1  # every 30th frame of 4 frames -> just frame 0
+
+
+def test_loader_orders_and_prefetches(fake_zju):
+    cfg, smpl, info = fake_zju
+    ds = ZJUDataset(cfg, "train", smpl=smpl, human_info=info)
+    ds.set_epoch(0)
+    out = list(Loader(lambda i: i * 10, range(7), num_workers=3))
+    assert out == [0, 10, 20, 30, 40, 50, 60]

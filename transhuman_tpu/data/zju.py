@@ -1,0 +1,365 @@
+"""ZJU-MoCap dataset: host-side assembly of device-ready frame batches.
+
+Behavior parity with the reference dataset
+(`lib/datasets/light_stage/can_smpl.py`):
+  * index = (human, frame, target_camera) triples built from annots.npy with
+    the per-human (begin, interval, count) catalog (can_smpl.py:57-117),
+  * per item: load + undistort + x`ratio` resize + background mask-out of
+    the target view and the V input views; union of `mask`/`mask_cihp`
+    layers with a 5px border band marked 100 on the target mask
+    (:118-200,629-660); epoch-seeded color jitter at train (:320-328),
+  * input views: random V at train / cfg.test.input_view at test (:346-362),
+  * rasterized vertex visibility maps with all-ones fallback (:440-461),
+  * SMPL vertices/params per frame, world->SMPL transform, LBS blend
+    matrices (prepare_input, :214-266),
+  * ray sampling: patches (train) / full-frame-in-bbox (eval).
+
+Output contract is the device pytree of render/pipeline.py + train/loss.py
+(FrameInputs / RayBundle / TrainSample, all static shapes), not a 35-key
+torch dict.  313/315's irregular camera naming and the '396' layout quirks
+are handled as in the reference.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import Config
+from ..geometry.smpl import SMPLModel, rodrigues
+from ..registry import DATASETS
+from ..render.pipeline import FrameInputs
+from ..train.loss import TrainSample
+from . import catalog
+from .jitter import color_jitter
+from .ray_sampling import EvalRays, sample_eval_rays, sample_train_rays
+
+SPECIAL_HUMANS = ("CoreView_313", "CoreView_315")
+# 313/315 store 23 entries with cameras 19/20 missing from disk
+CAM_IDX_313 = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 21, 22]
+
+
+@dataclass
+class EvalItem:
+    frame: FrameInputs
+    eval_rays: EvalRays
+    target_img: np.ndarray  # (H, W, 3)
+    target_msk: np.ndarray  # (H, W) uint8 (0 bg / 1 body / 100 border)
+    human: str
+    human_idx: int
+    frame_index: int
+    cam_ind: int
+
+
+class ZJUDataset:
+    """split: 'train' | 'test'."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        split: str,
+        smpl: Optional[SMPLModel] = None,
+        human_info: Optional[dict] = None,
+    ):
+        self.cfg = cfg
+        self.split = split
+        self.data_root = cfg.data_root
+        self.rasterize_root = cfg.rasterize_root
+        self.ratio = cfg.ratio
+        if smpl is None:
+            smpl = SMPLModel.load(cfg.smpl_dir)
+        self.smpl = smpl
+        self.epoch = 0
+
+        if human_info is None:
+            human_info = catalog.get_human_info(split, cfg.test.mode)
+        self.human_list = list(human_info)
+        self.human2idx = {h: i for i, h in enumerate(self.human_list)}
+
+        self.cams: Dict[str, dict] = {}
+        self.ims: List[str] = []
+        self.cam_inds: List[int] = []
+        self.start_end: Dict[str, dict] = {}
+        self.human2frame_cam: Dict[str, tuple] = {}
+
+        for human in self.human_list:
+            root = os.path.join(self.data_root, human)
+            annots = np.load(
+                os.path.join(root, "annots.npy"), allow_pickle=True
+            ).item()
+            self.cams[human] = annots["cams"]
+            num_cams = len(self.cams[human]["K"])
+            target_view = (
+                list(range(num_cams)) if split == "train" else list(cfg.test.target_view)
+            )
+            info = human_info[human]
+            i0, intv, ni = info["begin_i"], info["i_intv"], info["ni"]
+            frames = annots["ims"][i0 : i0 + ni][::intv]
+            ims = np.array(
+                [np.array(fd["ims"])[target_view] for fd in frames]
+            )
+            cam_inds = np.array(
+                [np.array(target_view, dtype=np.int64) for _ in frames]
+            )
+            self.human2frame_cam[human] = ims.shape
+            ims_flat = ims.ravel().tolist()
+            if human in SPECIAL_HUMANS:
+                # path layout: "Camera (N)/..._XXXX.jpg" with the frame number
+                # as the 5th '_'-separated token
+                ims_flat = [
+                    os.path.join(root, p.split("/")[0], p.split("/")[1].split("_")[4] + ".jpg")
+                    for p in ims_flat
+                ]
+            else:
+                ims_flat = [os.path.join(root, p) for p in ims_flat]
+            self.ims.extend(ims_flat)
+            self.cam_inds.extend(cam_inds.ravel().tolist())
+            first = int(os.path.basename(ims_flat[0])[:-4])
+            last = int(os.path.basename(ims_flat[-1])[:-4])
+            self.start_end[human] = {
+                "start": first,
+                "end": last,
+                "length": last - first + 1,
+                "intv": intv,
+            }
+
+    # ------------------------------------------------------------------
+    def __len__(self):
+        return len(self.ims)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def frame_sampler_indices(self, full_eval: Optional[bool] = None):
+        fe = self.cfg.test.full_eval if full_eval is None else full_eval
+        return catalog.frame_sampler_indices(
+            [self.human2frame_cam[h] for h in self.human_list],
+            full_eval=fe,
+            interval=self.cfg.test.frame_interval,
+        )
+
+    # -- file loading helpers ------------------------------------------
+    def _cam_dir(self, human, cam_id_1based):
+        if human in SPECIAL_HUMANS:
+            return f"Camera ({cam_id_1based})"
+        return f"Camera_B{cam_id_1based}"
+
+    def _load_mask(self, human, cam_dir, frame_file):
+        import imageio.v2 as imageio
+
+        stem = frame_file[:-4] + ".png"
+        msk = None
+        for layer in ("mask", "mask_cihp"):
+            p = os.path.join(self.data_root, human, layer, cam_dir, stem)
+            if os.path.exists(p):
+                m = (np.asarray(imageio.imread(p)) != 0).astype(np.uint8)
+                if m.ndim == 3:
+                    m = m[..., 0]
+                msk = m if msk is None else (msk | m)
+        if msk is None:
+            raise FileNotFoundError(f"no mask for {human}/{cam_dir}/{stem}")
+        return msk
+
+    @staticmethod
+    def _mark_border(msk, border: int = 5):
+        import cv2
+
+        kernel = np.ones((border, border), np.uint8)
+        eroded = cv2.erode(msk.copy(), kernel)
+        dilated = cv2.dilate(msk.copy(), kernel)
+        out = msk.copy()
+        out[(dilated - eroded) == 1] = 100
+        return out
+
+    def _process(self, img_u8, msk, human, cam_ind, jitter_seed=None):
+        """jitter -> [0,1] -> undistort -> resize -> mask bkgd.
+        Returns (img (H,W,3) f32, msk (H,W) u8, K (3,3), R (3,3), T (3,))."""
+        import cv2
+
+        if jitter_seed is not None:
+            img_u8 = color_jitter(img_u8, jitter_seed)
+        img = img_u8.astype(np.float32) / 255.0
+        cams = self.cams[human]
+        K = np.array(cams["K"][cam_ind], np.float32).copy()
+        D = np.array(cams["D"][cam_ind], np.float32)
+        img = cv2.undistort(img, K, D)
+        msk = cv2.undistort(msk, K, D)
+        R = np.array(cams["R"][cam_ind], np.float32)
+        T = (np.array(cams["T"][cam_ind], np.float32) / 1000.0).reshape(3)
+        H, W = int(img.shape[0] * self.ratio), int(img.shape[1] * self.ratio)
+        K[:2] *= self.ratio
+        img = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
+        msk = cv2.resize(msk, (W, H), interpolation=cv2.INTER_NEAREST)
+        if self.cfg.mask_bkgd:
+            img[msk == 0] = 1.0 if self.cfg.white_bkgd else 0.0
+        return img, msk, K, R, T
+
+    def _vertices(self, human, frame: int):
+        d = "vertices" if "396" in human else self.cfg.vertices
+        return np.load(
+            os.path.join(self.data_root, human, d, f"{frame}.npy")
+        ).astype(np.float32)
+
+    def _params(self, human, frame: int):
+        d = "params" if "396" in human else self.cfg.params
+        return np.load(
+            os.path.join(self.data_root, human, d, f"{frame}.npy"),
+            allow_pickle=True,
+        ).item()
+
+    def _vizmap(self, human, cam_id_1based, frame_str):
+        p = os.path.join(
+            self.rasterize_root,
+            human,
+            "visibility",
+            self._cam_dir(human, cam_id_1based),
+            f"{frame_str}.npy",
+        )
+        try:
+            return np.load(p).astype(np.float32)
+        except (FileNotFoundError, OSError):
+            return np.ones(self.smpl.v_template.shape[0], np.float32)
+
+    # -- item assembly -------------------------------------------------
+    def _pick_input_views(self, human, rng):
+        num_cams = len(self.cams[human]["K"])
+        if self.split == "train":
+            views = rng.permutation(num_cams)[: self.cfg.train_num_views]
+            return views.tolist()
+        return list(self.cfg.test.input_view)
+
+    def _frame_meta(self, index):
+        path = self.ims[index]
+        human = path.split("/")[-3]
+        frame_file = os.path.basename(path)
+        frame_index = int(frame_file[:-4])
+        return path, human, frame_file, frame_index
+
+    def _build_frame(self, index, rng, jitter: bool) -> tuple:
+        """Shared input-view/SMPL assembly. Returns (frame_inputs, target
+        stuff tuple, meta)."""
+        path, human, frame_file, frame_index = self._frame_meta(index)
+        cam_ind = self.cam_inds[index]
+        zfill = len(frame_file[:-4])
+
+        import imageio.v2 as imageio
+
+        # ---- target view (mask lives under the image's own camera dir)
+        tgt_img = np.asarray(imageio.imread(path))
+        tgt_cam_dir = os.path.basename(os.path.dirname(path))
+        tgt_msk_raw = self._mark_border(
+            self._load_mask(human, tgt_cam_dir, frame_file)
+        )
+        jseed = (
+            (index + self.epoch * self.cfg.seed) if jitter else None
+        )
+        tgt_img, tgt_msk, tK, tR, tT = self._process(
+            tgt_img, tgt_msk_raw, human, cam_ind, jseed
+        )
+
+        # ---- input views (time_steps == 1: the painting frame IS the target
+        # frame; multi-time support would loop here, if_clight_renderer.py:412)
+        views = self._pick_input_views(human, rng)
+        imgs, viz, Ks, Rs, Ts = [], [], [], [], []
+        for v in views:
+            cam_id = (CAM_IDX_313[v] + 1) if human in SPECIAL_HUMANS else (v + 1)
+            ipath = os.path.join(
+                self.data_root, human, self._cam_dir(human, cam_id), frame_file
+            )
+            iimg = np.asarray(imageio.imread(ipath))
+            imsk = self._load_mask(human, self._cam_dir(human, cam_id), frame_file)
+            iimg, imsk, iK, iR, iT = self._process(iimg, imsk, human, v, jseed)
+            imgs.append(iimg)
+            Ks.append(iK)
+            Rs.append(iR)
+            Ts.append(iT)
+            viz.append(self._vizmap(human, cam_id, str(frame_index).zfill(zfill)))
+
+        # ---- SMPL for the target frame
+        verts_world = self._vertices(human, frame_index)
+        params = self._params(human, frame_index)
+        Rh = rodrigues(np.asarray(params["Rh"]).reshape(1, 3))[0]
+        Th = np.asarray(params["Th"], np.float32).reshape(3)
+        verts_smpl = (verts_world - Th) @ Rh
+        _, _, blend = self.smpl(params["poses"], np.asarray(params["shapes"]).reshape(-1))
+
+        frame = FrameInputs(
+            images=np.stack(imgs),
+            vizmaps=np.stack(viz),
+            K=np.stack(Ks),
+            R=np.stack(Rs),
+            T=np.stack(Ts),
+            verts_world=verts_world,
+            tar_verts_smpl=verts_smpl,
+            blend_rot=blend[:, :3, :3].copy(),
+            Rh=Rh,
+            Th=Th,
+        )
+
+        # world AABB, z-inflated (prepare_input, can_smpl.py:225-233)
+        mn, mx = verts_world.min(0), verts_world.max(0)
+        if self.cfg.big_box:
+            mn, mx = mn - 0.05, mx + 0.05
+        else:
+            mn[2] -= 0.05
+            mx[2] += 0.05
+        can_bounds = np.stack([mn, mx])
+
+        target = (tgt_img, tgt_msk, tK, tR, tT, can_bounds)
+        meta = dict(
+            human=human,
+            human_idx=self.human2idx.get(human, 0),
+            frame_index=frame_index,
+            cam_ind=cam_ind,
+            path=path,
+        )
+        return frame, target, meta
+
+    def get_train_sample(self, index) -> TrainSample:
+        rng = np.random.default_rng(index + self.epoch * self.cfg.seed)
+        frame, target, _ = self._build_frame(
+            index, rng, jitter=self.cfg.jitter
+        )
+        tgt_img, tgt_msk, tK, tR, tT, can_bounds = target
+        tr = sample_train_rays(
+            tgt_img,
+            tgt_msk,
+            tK,
+            tR,
+            tT.reshape(3, 1),
+            can_bounds,
+            rng,
+            n_patches=self.cfg.patch.N_patches,
+            patch_size=self.cfg.patch.size,
+            subject_ratio=self.cfg.patch.sample_subject_ratio,
+        )
+        return TrainSample(
+            frame=frame,
+            rays=tr.rays,
+            target_patches=tr.target_patches,
+            ray_pixel_idx=tr.ray_pixel_idx,
+        )
+
+    def get_eval_item(self, index) -> EvalItem:
+        rng = np.random.default_rng(index)
+        frame, target, meta = self._build_frame(index, rng, jitter=False)
+        tgt_img, tgt_msk, tK, tR, tT, can_bounds = target
+        er = sample_eval_rays(tgt_img, tK, tR, tT.reshape(3, 1), can_bounds)
+        return EvalItem(
+            frame=frame,
+            eval_rays=er,
+            target_img=tgt_img,
+            target_msk=tgt_msk,
+            human=meta["human"],
+            human_idx=meta["human_idx"],
+            frame_index=meta["frame_index"],
+            cam_ind=meta["cam_ind"],
+        )
+
+
+@DATASETS.register("zju")
+def _make_zju(cfg: Config, split: str, **kw):
+    return ZJUDataset(cfg, split, **kw)

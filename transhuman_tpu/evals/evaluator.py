@@ -1,0 +1,127 @@
+"""Per-frame metric accumulation + image dumps + summary files.
+
+Capability parity with `lib/evaluators/if_nerf.py`: MSE/PSNR on the masked
+ray colors; SSIM + LPIPS on the bbox-cropped reconstructed images; pred/gt/
+input PNG dumps per human; `summarize()` writes per-frame metric .npy arrays
+and summary.txt and resets the accumulators.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from . import metrics
+
+
+class Evaluator:
+    def __init__(
+        self,
+        result_dir: str,
+        lpips_fn=None,
+        save_images: bool = True,
+        ssim_data_range: float = 2.0,
+        exp_name: str = "transhuman_tpu",
+        epoch: int = -1,
+    ):
+        self.result_dir = result_dir
+        self.lpips_fn = lpips_fn
+        self.save_images = save_images
+        self.ssim_data_range = ssim_data_range
+        self.exp_name = exp_name
+        self.epoch = epoch
+        self.mse, self.psnr, self.ssim, self.lpips = [], [], [], []
+
+    # ------------------------------------------------------------------
+    def _reconstruct(self, rgb, mask_at_box, hw, white_bkgd=False):
+        h, w = hw
+        img = np.full((h * w, 3), 1.0 if white_bkgd else 0.0, np.float32)
+        img[mask_at_box] = rgb
+        return img.reshape(h, w, 3)
+
+    def evaluate_frame(
+        self,
+        rgb_pred: np.ndarray,  # (R, 3) valid-ray predictions
+        rgb_gt: np.ndarray,  # (R, 3)
+        mask_at_box: np.ndarray,  # (H*W,) bool
+        hw: tuple,
+        human: str = "human",
+        frame_index: int = 0,
+        cam_ind: int = 0,
+        input_imgs: Optional[np.ndarray] = None,  # (V, H, W, 3)
+        white_bkgd: bool = False,
+    ) -> dict:
+        import cv2
+
+        self.mse.append(metrics.mse(rgb_pred, rgb_gt))
+        self.psnr.append(metrics.psnr(rgb_pred, rgb_gt))
+
+        img_pred = self._reconstruct(rgb_pred, mask_at_box, hw, white_bkgd)
+        img_gt = self._reconstruct(rgb_gt, mask_at_box, hw, white_bkgd)
+        # crop to the tight bbox of the rendered region (if_nerf.py:58-62)
+        x, y, w, h = cv2.boundingRect(
+            mask_at_box.reshape(hw).astype(np.uint8)
+        )
+        crop_pred = img_pred[y : y + h, x : x + w]
+        crop_gt = img_gt[y : y + h, x : x + w]
+
+        self.ssim.append(
+            metrics.ssim(crop_pred, crop_gt, data_range=self.ssim_data_range)
+        )
+        if self.lpips_fn is not None:
+            lp = float(
+                np.asarray(
+                    self.lpips_fn(
+                        crop_pred[None] * 2.0 - 1.0, crop_gt[None] * 2.0 - 1.0
+                    )
+                ).reshape(())
+            )
+            self.lpips.append(lp)
+
+        if self.save_images:
+            hdir = os.path.join(self.result_dir, human)
+            for sub in ("pred", "gt", "input"):
+                os.makedirs(os.path.join(hdir, sub), exist_ok=True)
+            cv2.imwrite(
+                f"{hdir}/pred/frame{frame_index}_view{cam_ind}.png",
+                crop_pred[..., ::-1] * 255,
+            )
+            cv2.imwrite(
+                f"{hdir}/gt/frame{frame_index}_view{cam_ind}_gt.png",
+                crop_gt[..., ::-1] * 255,
+            )
+            if input_imgs is not None:
+                for v, im in enumerate(input_imgs):
+                    cv2.imwrite(
+                        f"{hdir}/input/frame{frame_index}_t_0_view_{v}.png",
+                        im[..., ::-1] * 255,
+                    )
+
+        return {
+            "mse": self.mse[-1],
+            "psnr": self.psnr[-1],
+            "ssim": self.ssim[-1],
+            "lpips": self.lpips[-1] if self.lpips else None,
+        }
+
+    # ------------------------------------------------------------------
+    def summarize(self) -> dict:
+        os.makedirs(self.result_dir, exist_ok=True)
+        for name in ("mse", "psnr", "ssim", "lpips"):
+            np.save(
+                os.path.join(self.result_dir, f"{name}.npy"), getattr(self, name)
+            )
+        out = {
+            "experiment": self.exp_name,
+            "epoch": self.epoch,
+            "mse": float(np.mean(self.mse)) if self.mse else None,
+            "psnr": float(np.mean(self.psnr)) if self.psnr else None,
+            "ssim": float(np.mean(self.ssim)) if self.ssim else None,
+            "lpips": float(np.mean(self.lpips)) if self.lpips else None,
+        }
+        with open(os.path.join(self.result_dir, "summary.txt"), "w") as f:
+            f.writelines(f"{k}: {v}\n" for k, v in out.items())
+        self.mse, self.psnr, self.ssim, self.lpips = [], [], [], []
+        return out

@@ -1,0 +1,96 @@
+"""LPIPS perceptual distance (VGG16 backbone), functional jnp implementation.
+
+Capability parity with the vendored LPIPS used for the training loss and the
+evaluator metric (`third_parties/lpips/lpips.py:23-110`): inputs in [-1,1]
+are shifted/scaled by the ImageNet statistics, passed through VGG16's five
+conv stages, each stage's features are channel-unit-normalized, squared
+differences are reduced by learned non-negative 1x1 "lin" weights and
+averaged spatially, and the five stage scores are summed.
+
+Weights are a plain dict pytree (see tools/convert_lpips.py for the
+torch->npz converter); with no weights available the training loss simply
+omits the perceptual term (cfg.lpips_weights == '').
+
+NHWC layout; convs hit the MXU.  The whole distance is jit-able and
+differentiable (it backs the training loss at if_nerf_clight.py:65-72).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# VGG16 feature-extractor conv plan: (#convs, channels) per stage; stages are
+# separated by 2x2 max-pools, LPIPS taps the relu after each stage's last conv
+VGG16_STAGES = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
+
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def init_lpips_params(key, seed_scale: float = 0.05):
+    """Random-weight parameter tree with the correct shapes (testing only;
+    real use requires converted pretrained weights)."""
+    params = {}
+    rng = np.random.default_rng(0)
+    c_in = 3
+    for si, (n_convs, ch) in enumerate(VGG16_STAGES):
+        for ci in range(n_convs):
+            params[f"conv{si}_{ci}_w"] = (
+                rng.standard_normal((3, 3, c_in, ch)).astype(np.float32) * seed_scale
+            )
+            params[f"conv{si}_{ci}_b"] = np.zeros(ch, np.float32)
+            c_in = ch
+        params[f"lin{si}"] = np.abs(
+            rng.standard_normal(ch).astype(np.float32) * seed_scale
+        )
+    return jax.tree.map(jnp.asarray, params)
+
+
+def _vgg_stages(params, x):
+    """x: (B,H,W,3) in [-1,1] -> list of 5 stage activations (post-relu)."""
+    x = (x - _SHIFT) / _SCALE
+    outs = []
+    for si, (n_convs, _) in enumerate(VGG16_STAGES):
+        for ci in range(n_convs):
+            w = params[f"conv{si}_{ci}_w"]
+            b = params[f"conv{si}_{ci}_b"]
+            x = jax.lax.conv_general_dilated(
+                x, w, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b
+            x = jax.nn.relu(x)
+        outs.append(x)
+        if si < len(VGG16_STAGES) - 1:
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+    return outs
+
+
+def _unit_norm(x, eps=1e-10):
+    return x / jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True) + eps)
+
+
+def lpips_distance(params, x, y):
+    """x, y: (B,H,W,3) in [-1,1] -> (B,) perceptual distances."""
+    fx = _vgg_stages(params, x)
+    fy = _vgg_stages(params, y)
+    total = 0.0
+    for si, (gx, gy) in enumerate(zip(fx, fy)):
+        d = jnp.square(_unit_norm(gx) - _unit_norm(gy))  # (B,H,W,C)
+        w = params[f"lin{si}"]
+        total = total + jnp.mean(jnp.sum(d * w, axis=-1), axis=(1, 2))
+    return total
+
+
+def make_lpips_fn(params):
+    """Closure (x, y) -> distances, with params baked in (for the loss)."""
+    return lambda x, y: lpips_distance(params, x, y)
+
+
+def load_lpips_params(path: str):
+    """Load a converted .npz weight file (tools/convert_lpips.py)."""
+    with np.load(path) as z:
+        return {k: jnp.asarray(z[k]) for k in z.files}

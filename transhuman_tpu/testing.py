@@ -57,7 +57,9 @@ def synthetic_setup(
         th = 2 * np.pi * i / max(n_views, 1)
         c, s = np.cos(th), np.sin(th)
         Rm = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float32)
-        cam_pos = np.array([2.5 * s, 0.0, -2.5 * c], np.float32)
+        # camera center on a circle, looking at the origin: forward axis in
+        # world coords is R^T e_z = (s, 0, c), so place the camera at -2.5x that
+        cam_pos = np.array([-2.5 * s, 0.0, -2.5 * c], np.float32)
         Rs.append(Rm)
         Ts.append(-Rm @ cam_pos)
     frame = FrameInputs(
