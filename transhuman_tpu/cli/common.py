@@ -1,0 +1,90 @@
+"""Shared CLI plumbing: arg parsing, asset loading, pipeline construction."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..config import Config
+from ..geometry.clusters import ClusterSpec
+from ..geometry.smpl import SMPLModel
+from ..models.network import TransHumanNet
+from ..render.pipeline import RenderPipeline
+
+
+def parse_args(argv=None, need_type: bool = False):
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg_file", default=None)
+    if need_type:
+        p.add_argument(
+            "--type",
+            default="evaluate",
+            choices=["evaluate", "visualize", "reconstruction"],
+        )
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    args = p.parse_args(argv)
+    cfg = Config.from_yaml(args.cfg_file, args.opts)
+    return args, cfg
+
+
+def load_smpl(cfg: Config) -> SMPLModel:
+    try:
+        return SMPLModel.load(cfg.smpl_dir)
+    except (FileNotFoundError, OSError):
+        print(
+            f"WARNING: SMPL pickle not found under {cfg.smpl_dir!r}; "
+            "using the synthetic stand-in body (tests/benchmarks only)."
+        )
+        return SMPLModel.synthetic()
+
+
+def load_cluster_spec(cfg: Config, smpl: SMPLModel) -> ClusterSpec:
+    path = os.path.join(cfg.kmeans_dir, f"kmeans_dict_{cfg.num_class}.npy")
+    if os.path.exists(path):
+        return ClusterSpec.load_reference_dict(path)
+    print(f"WARNING: {path} not found; running k-means over the template.")
+    return ClusterSpec.from_kmeans(smpl.v_template, cfg.num_class)
+
+
+def build_runtime(
+    cfg: Config,
+    axis_name=None,
+    chunk_rays: Optional[int] = None,
+    smpl: Optional[SMPLModel] = None,
+):
+    """Returns (model, pipe, smpl, cluster)."""
+    if smpl is None:
+        smpl = load_smpl(cfg)
+    cluster = load_cluster_spec(cfg, smpl)
+    model = TransHumanNet.from_config(cfg, axis_name=axis_name)
+    pipe = RenderPipeline(
+        model,
+        cluster,
+        smpl.v_template,
+        n_samples=cfg.N_samples,
+        chunk_rays=chunk_rays or max(cfg.chunk_size // cfg.N_samples, 1),
+        cull_distance=cfg.cull_distance,
+        white_bkgd=cfg.white_bkgd,
+        raw_noise_std=cfg.raw_noise_std,
+    )
+    return model, pipe, smpl, cluster
+
+
+def model_dir(cfg: Config) -> str:
+    return os.path.join(cfg.trained_model_dir, cfg.task, cfg.exp_name)
+
+
+def result_dir(cfg: Config) -> str:
+    return os.path.join(
+        cfg.result_dir, f"epoch_{cfg.test.epoch}", cfg.test.exp_folder_name
+    )
+
+
+def seed_everything(seed: int):
+    np.random.seed(seed)
+    import random
+
+    random.seed(seed)

@@ -1,0 +1,121 @@
+"""Inference entry point (reference parity: run.py --type {evaluate,
+visualize, reconstruction}).
+
+All three workloads share the checkpointed model + jitted render pipelines;
+ray counts are bucketed to multiples of cfg.pad_bucket so the whole eval
+reuses a handful of compiled programs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.zju import ZJUDataset
+from ..evals.evaluator import Evaluator
+from ..mesh_ops.ply import save_ply
+from ..mesh_ops.reconstruct import extract_mesh
+from ..render.pipeline import pad_rays
+from ..train.checkpoint import load_params
+from ..viz.perform import PerformVisualizer
+from ..viz.video import frames_to_video
+from .common import build_runtime, model_dir, parse_args, result_dir
+
+
+def _render_bucketed(pipe, render_jit, params, frame, eval_rays, bucket):
+    rays = pad_rays(eval_rays.rays, bucket)
+    out = render_jit(params, jax.tree.map(jnp.asarray, frame),
+                     jax.tree.map(jnp.asarray, rays))
+    n = eval_rays.rays.ray_o.shape[0]
+    return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+
+def run_evaluate(cfg, pipe, model, smpl, dataset=None):
+    dataset = dataset or ZJUDataset(cfg, "test", smpl=smpl)
+    params, epoch = load_params(model_dir(cfg), cfg.test.epoch)
+    lpips_fn = None
+    if cfg.lpips_weights:
+        from ..models.lpips import load_lpips_params, make_lpips_fn
+
+        lpips_fn = jax.jit(make_lpips_fn(load_lpips_params(cfg.lpips_weights)))
+    ev = Evaluator(result_dir(cfg), lpips_fn=lpips_fn,
+                   exp_name=cfg.exp_name, epoch=epoch)
+    render_jit = jax.jit(pipe.render_frame)
+    bucket = max(cfg.pad_bucket, pipe.chunk_rays)
+
+    for i in dataset.frame_sampler_indices():
+        item = dataset.get_eval_item(int(i))
+        out = _render_bucketed(pipe, render_jit, params, item.frame,
+                               item.eval_rays, bucket)
+        hw = item.target_img.shape[:2]
+        r = ev.evaluate_frame(
+            out["rgb_map"], item.eval_rays.rgb, item.eval_rays.mask_at_box, hw,
+            human=item.human, frame_index=item.frame_index,
+            cam_ind=item.cam_ind, input_imgs=np.asarray(item.frame.images),
+            white_bkgd=cfg.white_bkgd,
+        )
+        print(f"[{item.human} f{item.frame_index} c{item.cam_ind}] "
+              + "  ".join(f"{k}: {v:.4f}" for k, v in r.items() if v is not None))
+    summary = ev.summarize()
+    print(summary)
+    return summary
+
+
+def run_visualize(cfg, pipe, model, smpl, dataset=None):
+    dataset = dataset or ZJUDataset(cfg, "test", smpl=smpl)
+    params, _ = load_params(model_dir(cfg), cfg.test.epoch)
+    out_dir = os.path.join(result_dir(cfg), "perform")
+    vis = PerformVisualizer(out_dir, white_bkgd=cfg.white_bkgd)
+    render_jit = jax.jit(pipe.render_frame)
+    bucket = max(cfg.pad_bucket, pipe.chunk_rays)
+
+    humans = set()
+    for i in dataset.frame_sampler_indices(full_eval=True):
+        item = dataset.get_perform_item(int(i), render_views=cfg.render_views)
+        out = _render_bucketed(pipe, render_jit, params, item.frame,
+                               item.eval_rays, bucket)
+        hw = item.target_img.shape[:2]
+        p = vis.visualize(out["rgb_map"], item.eval_rays.mask_at_box, hw,
+                          item.frame_index, human=item.human)
+        humans.add(item.human)
+        print("wrote", p)
+    for h in humans:
+        v = frames_to_video(os.path.join(out_dir, h),
+                            os.path.join(out_dir, f"{h}.mp4"))
+        print("video:", v)
+
+
+def run_reconstruction(cfg, pipe, model, smpl, dataset=None):
+    dataset = dataset or ZJUDataset(cfg, "test", smpl=smpl)
+    params, _ = load_params(model_dir(cfg), cfg.test.epoch)
+    out_dir = os.path.join(result_dir(cfg), "mesh")
+    os.makedirs(out_dir, exist_ok=True)
+    for i in dataset.frame_sampler_indices():
+        frame, can_bounds, meta = dataset.get_mesh_item(int(i))
+        verts, tris, _ = extract_mesh(
+            pipe, params, frame, can_bounds,
+            voxel_size=cfg.voxel_size, mesh_th=cfg.mesh_th,
+        )
+        path = os.path.join(
+            out_dir, f"{meta['human']}_frame{meta['frame_index']:04d}.ply"
+        )
+        save_ply(path, verts, tris)
+        print(f"wrote {path} ({len(verts)} verts, {len(tris)} tris)")
+
+
+def main(argv=None, dataset=None, smpl=None):
+    args, cfg = parse_args(argv, need_type=True)
+    cfg = cfg.merge_dict({"run_mode": "test", "perturb": 0.0})
+    model, pipe, smpl, _ = build_runtime(cfg, smpl=smpl)
+    if args.type == "evaluate":
+        return run_evaluate(cfg, pipe, model, smpl, dataset)
+    if args.type == "visualize":
+        return run_visualize(cfg, pipe, model, smpl, dataset)
+    return run_reconstruction(cfg, pipe, model, smpl, dataset)
+
+
+if __name__ == "__main__":
+    main()

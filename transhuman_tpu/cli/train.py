@@ -1,0 +1,142 @@
+"""Training entry point (reference parity: train_net.py).
+
+    python -m transhuman_tpu.cli.train --cfg_file configs/train_or_eval.yaml [k v ...]
+
+Differences from the reference runtime model (SURVEY.md §2.4): one process
+drives all local chips through a ('data',) mesh (multi-host via
+`jax.distributed.initialize` + per-process index sharding) instead of
+torch.distributed.launch; gradients allreduce via lax.pmean inside the
+jitted step; SyncBN via the model's axis_name.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.zju import ZJUDataset
+from ..models.lpips import load_lpips_params, make_lpips_fn
+from ..parallel import make_mesh, shard_batch
+from ..train import make_optimizer, make_train_step
+from ..train.checkpoint import load_checkpoint, save_checkpoint
+from ..train.step import init_state
+from ..utils.recorder import Recorder
+from .common import build_runtime, model_dir, parse_args, seed_everything
+
+
+def stack_samples(samples):
+    return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *samples)
+
+
+def main(argv=None, dataset=None, smpl=None):
+    _, cfg = parse_args(argv)
+    seed_everything(cfg.seed)
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    sync_bn = ("batch", "data")
+    model, pipe, smpl, cluster = build_runtime(cfg, axis_name=sync_bn, smpl=smpl)
+
+    lpips_fn = None
+    if cfg.lpips_weights:
+        lpips_fn = make_lpips_fn(load_lpips_params(cfg.lpips_weights))
+    else:
+        print("NOTE: cfg.lpips_weights empty -> perceptual loss disabled.")
+
+    tx, schedule = make_optimizer(
+        lr=cfg.train.lr,
+        end_lr=cfg.train.scheduler.end_lr,
+        warmup_epochs=cfg.train.scheduler.warmup_epochs,
+        decay_epochs=cfg.train.scheduler.decay_epochs,
+        iters_per_epoch=cfg.ep_iter,
+        weight_decay=cfg.train.weight_decay,
+        optim=cfg.train.optim,
+    )
+    step_fn = make_train_step(
+        pipe, tx, mesh=mesh, lpips_fn=lpips_fn,
+        l2_weight=cfg.l2rec_weight, lpips_weight=cfg.lpips_weight,
+    )
+
+    dataset = dataset or ZJUDataset(cfg, "train", smpl=smpl)
+    mdir = model_dir(cfg)
+    recorder = Recorder(cfg.record_dir, cfg.record_interval, cfg.log_interval,
+                        enabled=jax.process_index() == 0)
+
+    # init / resume
+    start_epoch = 0
+    ckpt = load_checkpoint(mdir) if cfg.resume else None
+    if cfg.specified_resume:
+        ckpt = load_checkpoint(mdir, explicit_path=cfg.specified_resume)
+    if ckpt is not None:
+        state = init_state(ckpt["params"], tx)
+        state = state.replace(
+            step=jnp.asarray(ckpt.get("step", 0)),
+            opt_state=jax.tree.map(jnp.asarray, ckpt["opt_state"]),
+        )
+        start_epoch = int(ckpt["epoch"]) + 1
+        recorder.load_state_dict(ckpt.get("recorder", {}))
+        print(f"resumed from {mdir} at epoch {start_epoch}")
+    else:
+        from ..testing import init_params
+
+        sample0 = dataset.get_train_sample(0)
+        params = init_params(model, sample0.frame, cluster.num_clusters,
+                             jax.random.PRNGKey(cfg.seed))
+        state = init_state(params, tx)
+
+    rng0 = jax.random.PRNGKey(cfg.seed)
+    global_batch = n_dev * cfg.train.batch_size
+
+    for epoch in range(start_epoch, cfg.train.epoch):
+        dataset.set_epoch(epoch)
+        recorder.epoch = epoch
+        ep_rng = np.random.default_rng(cfg.seed + epoch)
+        # IterationBasedBatchSampler semantics (samplers.py:49-71): exactly
+        # ep_iter steps per epoch, cycling a shuffled permutation
+        need = cfg.ep_iter * global_batch
+        perm = np.concatenate(
+            [ep_rng.permutation(len(dataset)) for _ in
+             range(-(-need // len(dataset)))]
+        )[:need]
+
+        t_end = time.time()
+        for it in range(cfg.ep_iter):
+            idx = perm[it * global_batch : (it + 1) * global_batch]
+            samples = [dataset.get_train_sample(int(i)) for i in idx]
+            batch = shard_batch(mesh, stack_samples(samples))
+            recorder.data_time.update(time.time() - t_end)
+
+            state, stats = step_fn(
+                state, batch, jax.random.fold_in(rng0, epoch * cfg.ep_iter + it)
+            )
+            recorder.step = epoch * cfg.ep_iter + it
+            recorder.batch_time.update(time.time() - t_end)
+            t_end = time.time()
+            if it % cfg.log_interval == 0:
+                stats_np = {k: float(v) for k, v in stats.items()}
+                recorder.update(stats_np)
+                lr = float(schedule(recorder.step))
+                print(f"epoch {epoch} iter {it}/{cfg.ep_iter}  "
+                      + recorder.console_line(cfg.train.epoch * cfg.ep_iter, lr))
+            recorder.record("train")
+
+        if jax.process_index() == 0:
+            payload = {
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "step": int(state.step),
+                "recorder": recorder.state_dict(),
+            }
+            save_checkpoint(
+                mdir, payload, epoch,
+                save_epoch_copy=(epoch + 1) % cfg.save_freq == 0,
+            )
+    recorder.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -360,6 +360,54 @@ class ZJUDataset:
         )
 
 
+    def get_perform_item(self, index, render_views: Optional[int] = None) -> EvalItem:
+        """Free-viewpoint variant (can_smpl_perform.py:44-89): the target
+        camera is replaced by a frame-indexed pose on a 360-degree spherical
+        path around the subject; intrinsics stay the real target camera's."""
+        from ..geometry.cameras import gen_path_virt, load_cam
+
+        rng = np.random.default_rng(index)
+        frame, target, meta = self._build_frame(index, rng, jitter=False)
+        tgt_img, tgt_msk, tK, _, _, can_bounds = target
+        human = meta["human"]
+
+        if not hasattr(self, "_render_w2c"):
+            self._render_w2c: Dict[str, list] = {}
+        if human not in self._render_w2c:
+            n_frames = self.human2frame_cam[human][0]
+            _, RT = load_cam(
+                os.path.join(self.data_root, human, "annots.npy"), self.ratio
+            )
+            self._render_w2c[human] = gen_path_virt(
+                RT, render_views=render_views or n_frames
+            )
+        path = self._render_w2c[human]
+        w2c = path[meta["frame_index"] % len(path)]
+        vR = w2c[:3, :3].astype(np.float32)
+        vT = w2c[:3, 3].astype(np.float32)
+
+        er = sample_eval_rays(tgt_img, tK, vR, vT.reshape(3, 1), can_bounds)
+        return EvalItem(
+            frame=frame,
+            eval_rays=er,
+            target_img=tgt_img,
+            target_msk=tgt_msk,
+            human=human,
+            human_idx=meta["human_idx"],
+            frame_index=meta["frame_index"],
+            cam_ind=meta["cam_ind"],
+        )
+
+    def get_mesh_item(self, index):
+        """Mesh variant (can_smpl_mesh.py:61-97): eval item + the world AABB
+        for dense-grid reconstruction (the grid itself is built in
+        mesh_ops/reconstruct.py from these bounds)."""
+        rng = np.random.default_rng(index)
+        frame, target, meta = self._build_frame(index, rng, jitter=False)
+        can_bounds = target[5]
+        return frame, can_bounds, meta
+
+
 @DATASETS.register("zju")
 def _make_zju(cfg: Config, split: str, **kw):
     return ZJUDataset(cfg, split, **kw)

@@ -86,17 +86,17 @@ class Evaluator:
                 os.makedirs(os.path.join(hdir, sub), exist_ok=True)
             cv2.imwrite(
                 f"{hdir}/pred/frame{frame_index}_view{cam_ind}.png",
-                crop_pred[..., ::-1] * 255,
+                np.clip(crop_pred[..., ::-1] * 255, 0, 255).astype(np.uint8),
             )
             cv2.imwrite(
                 f"{hdir}/gt/frame{frame_index}_view{cam_ind}_gt.png",
-                crop_gt[..., ::-1] * 255,
+                np.clip(crop_gt[..., ::-1] * 255, 0, 255).astype(np.uint8),
             )
             if input_imgs is not None:
                 for v, im in enumerate(input_imgs):
                     cv2.imwrite(
                         f"{hdir}/input/frame{frame_index}_t_0_view_{v}.png",
-                        im[..., ::-1] * 255,
+                        np.clip(im[..., ::-1] * 255, 0, 255).astype(np.uint8),
                     )
 
         return {

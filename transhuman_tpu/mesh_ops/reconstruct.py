@@ -1,0 +1,60 @@
+"""Mesh reconstruction orchestration: density grid -> iso-surface -> world mesh.
+
+Capability parity with the reference mesh workload
+(`lib/networks/renderer/if_mesh_renderer.py:46-113` + grid generation in
+`can_smpl_mesh.py:78-95`): a dense voxel grid over the world AABB
+(voxel 0.005 m), density inference with SMPL-distance culling, 10-voxel
+zero padding, iso-surface at mesh_th=20, index->world vertex transform.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..render.pipeline import FrameInputs
+from .marching import marching_tetrahedra
+
+
+def make_grid(can_bounds: np.ndarray, voxel_size) -> np.ndarray:
+    """(X, Y, Z, 3) world-coordinate grid points (arange semantics of
+    can_smpl_mesh.py:78-86: inclusive-ish upper bound)."""
+    vs = np.asarray(voxel_size, np.float32)
+    axes = [
+        np.arange(can_bounds[0, i], can_bounds[1, i] + vs[i], vs[i], dtype=np.float32)
+        for i in range(3)
+    ]
+    return np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
+
+
+def extract_mesh(
+    pipe,
+    params,
+    frame: FrameInputs,
+    can_bounds: np.ndarray,
+    voxel_size=(0.005, 0.005, 0.005),
+    mesh_th: float = 20.0,
+    pad_voxels: int = 10,
+):
+    """Returns (vertices_world (N,3), triangles (M,3), cube (padded sigma grid))."""
+    import jax
+    import jax.numpy as jnp
+
+    grid = make_grid(can_bounds, voxel_size)
+    gx, gy, gz, _ = grid.shape
+    flat = grid.reshape(-1, 3)
+    cp = pipe.chunk_rays * pipe.n_samples
+    pad = (-flat.shape[0]) % cp
+    flat_p = np.pad(flat, ((0, pad), (0, 0)))
+    mask = np.concatenate([np.ones(flat.shape[0], bool), np.zeros(pad, bool)])
+
+    sigma = np.asarray(
+        pipe.render_sigma(
+            params, jax.tree.map(jnp.asarray, frame), jnp.asarray(flat_p), jnp.asarray(mask)
+        )
+    )[: flat.shape[0]].reshape(gx, gy, gz)
+
+    cube = np.pad(sigma, pad_voxels, mode="constant")
+    verts_idx, tris = marching_tetrahedra(cube, mesh_th)
+    lb = can_bounds[0] - pad_voxels * np.asarray(voxel_size)
+    verts_world = verts_idx * np.asarray(voxel_size, np.float32) + lb.astype(np.float32)
+    return verts_world, tris, cube

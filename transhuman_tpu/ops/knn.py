@@ -36,10 +36,15 @@ def pairwise_dist2(pts, refs, precision=None):
 
 def knn(pts, refs, k: int, precision=None):
     """k nearest refs per point: returns (dist, idx), dist = euclidean (sqrt'd),
-    ascending, shapes (N,k)."""
+    ascending, shapes (N,k).
+
+    The 1e-12 floor keeps sqrt's gradient finite when cancellation clamps a
+    tiny squared distance to exactly 0 (a point sitting on a cluster center
+    would otherwise inject inf into the backward pass).
+    """
     d2 = pairwise_dist2(pts, refs, precision=precision)
     neg_top, idx = jax.lax.top_k(-d2, k)
-    return jnp.sqrt(-neg_top), idx
+    return jnp.sqrt(jnp.maximum(-neg_top, 1e-12)), idx
 
 
 def min_dist(pts, refs, precision=None, ref_block: int = 1024):

@@ -37,7 +37,15 @@ def project_points(xyz, K, R, T):
     else:
         cam = jnp.einsum("vab,vnb->vna", R, xyz) + T[:, None, :]
     pix = jnp.einsum("vab,vnb->vna", K, cam)
-    uv = pix[..., :2] / pix[..., 2:3]
+    # A point exactly on a camera's principal plane (z=0) would yield 0/0
+    # = NaN, which masking downstream cannot scrub out of the *backward*
+    # pass (where-grads propagate NaN cotangents).  Clamp |z| away from 0:
+    # such points project far outside the image and hit the sampler's border
+    # clamp, matching grid_sample(padding_mode="border") for behind-camera
+    # points in the reference.
+    z = pix[..., 2:3]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, jnp.where(z < 0, -1e-6, 1e-6), z)
+    uv = pix[..., :2] / z_safe
     return uv, cam[..., 2]
 
 

@@ -233,6 +233,37 @@ class RenderPipeline:
         }
 
 
+    # -- mesh path (density over a dense grid) --------------------------
+    def render_sigma(self, params, frame: FrameInputs, pts_world, pts_mask):
+        """Density for a flat padded point set (mesh reconstruction,
+        if_mesh_renderer.py:46-96): chunked queries with SMPL culling and a
+        zero (dummy) view-direction encoding — RGB is unused.
+
+        pts_world: (N, 3) with N % (chunk_rays * n_samples) == 0;
+        pts_mask: (N,) bool (False for padding).  Returns sigma (N,).
+        """
+        n = pts_world.shape[0]
+        cp = self.chunk_rays * self.n_samples  # points per chunk
+        assert n % cp == 0, f"{n} not a multiple of chunk {cp}"
+        pro = self.prologue(params, frame)
+        vde = jnp.zeros((cp, 27), pts_world.dtype)
+
+        def chunk_body(chunk):
+            c_pts, c_mask = chunk
+            pts_smpl = (c_pts - frame.Th) @ frame.Rh
+            near_body = min_dist(pts_smpl, frame.tar_verts_smpl) < self.cull_distance
+            raw = self.query_points(
+                params, frame, pro, c_pts, vde, c_mask & near_body
+            )
+            return raw[:, 3].astype(jnp.float32)
+
+        chunks = (
+            pts_world.reshape(-1, cp, 3),
+            pts_mask.reshape(-1, cp),
+        )
+        return jax.lax.map(chunk_body, chunks).reshape(n)
+
+
 def pad_rays(rays: RayBundle, multiple: int) -> RayBundle:
     """Host-side: pad a RayBundle to a multiple of `multiple` rays."""
     r = rays.ray_o.shape[0]

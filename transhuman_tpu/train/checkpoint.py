@@ -1,0 +1,94 @@
+"""Checkpoint save/load with the reference's lifecycle semantics
+(`lib/utils/net_utils.py:288-428`):
+
+* periodic epoch checkpoints (`ep{N}.ckpt`) + a rolling `latest.ckpt`,
+* full-state resume (params, optimizer state, step, epoch, recorder),
+* weights-only load for evaluation, picking `latest`/max-epoch/explicit,
+* NO destructive directory wipe on resume=False (the reference deletes the
+  model dir, net_utils.py:297-298 — an explicit non-goal here).
+
+Format: a pickle of a numpy-ified pytree written atomically (tmp+rename).
+Multi-host: call only from process 0 (`jax.process_index() == 0`), matching
+the reference's rank-0-only saves (train_net.py:74-78).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def save_checkpoint(
+    model_dir: str,
+    payload: dict,
+    epoch: int,
+    save_epoch_copy: bool = True,
+):
+    """payload: dict with at least {'params': ...}; we add 'epoch'."""
+    os.makedirs(model_dir, exist_ok=True)
+    data = dict(payload)
+    data["epoch"] = epoch
+    data = _to_numpy(data)
+    blob = pickle.dumps(data, protocol=pickle.HIGHEST_PROTOCOL)
+
+    def write(path):
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+
+    write(os.path.join(model_dir, "latest.ckpt"))
+    if save_epoch_copy:
+        write(os.path.join(model_dir, f"ep{epoch}.ckpt"))
+
+
+def _available_epochs(model_dir: str):
+    if not os.path.isdir(model_dir):
+        return []
+    eps = []
+    for f in os.listdir(model_dir):
+        m = re.fullmatch(r"ep(\d+)\.ckpt", f)
+        if m:
+            eps.append(int(m.group(1)))
+    return sorted(eps)
+
+
+def load_checkpoint(
+    model_dir: str,
+    epoch: int = -1,
+    explicit_path: Optional[str] = None,
+) -> Optional[dict]:
+    """epoch=-1: latest.ckpt if present else max epoch copy; epoch=N: epN.ckpt;
+    explicit_path overrides (the reference's specified_resume)."""
+    if explicit_path:
+        path = explicit_path
+    elif epoch >= 0:
+        path = os.path.join(model_dir, f"ep{epoch}.ckpt")
+    else:
+        path = os.path.join(model_dir, "latest.ckpt")
+        if not os.path.exists(path):
+            eps = _available_epochs(model_dir)
+            if not eps:
+                return None
+            path = os.path.join(model_dir, f"ep{eps[-1]}.ckpt")
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def load_params(model_dir: str, epoch: int = -1, explicit_path=None):
+    """Weights-only load for eval (net_utils.load_network analog)."""
+    ckpt = load_checkpoint(model_dir, epoch, explicit_path)
+    if ckpt is None:
+        raise FileNotFoundError(f"no checkpoint in {model_dir}")
+    return ckpt["params"], ckpt["epoch"]
