@@ -54,6 +54,7 @@ def build_runtime(
     axis_name=None,
     chunk_rays: Optional[int] = None,
     smpl: Optional[SMPLModel] = None,
+    pe_table=None,
 ):
     """Returns (model, pipe, smpl, cluster)."""
     if smpl is None:
@@ -69,6 +70,7 @@ def build_runtime(
         cull_distance=cfg.cull_distance,
         white_bkgd=cfg.white_bkgd,
         raw_noise_std=cfg.raw_noise_std,
+        pe_table=pe_table,
     )
     return model, pipe, smpl, cluster
 

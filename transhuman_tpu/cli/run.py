@@ -109,7 +109,11 @@ def run_reconstruction(cfg, pipe, model, smpl, dataset=None):
 def main(argv=None, dataset=None, smpl=None):
     args, cfg = parse_args(argv, need_type=True)
     cfg = cfg.merge_dict({"run_mode": "test", "perturb": 0.0})
-    model, pipe, smpl, _ = build_runtime(cfg, smpl=smpl)
+    from ..train.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(model_dir(cfg), cfg.test.epoch)
+    pe_table = ckpt.get("pe_table") if ckpt else None
+    model, pipe, smpl, _ = build_runtime(cfg, smpl=smpl, pe_table=pe_table)
     if args.type == "evaluate":
         return run_evaluate(cfg, pipe, model, smpl, dataset)
     if args.type == "visualize":

@@ -70,12 +70,12 @@ class TransHumanNet(nn.Module):
         """images: (V, H, W, 3) -> holder_map (V,H,W,D), pixel_map (V,H,W,384)."""
         return self.encoder(images)
 
-    def refine_tokens(self, tokens, pe_xyz, mask=None):
-        """tokens: (V, C, D); pe_xyz: (C, 3) or (V, C, 3) normalized canonical
-        cluster centroids."""
-        if pe_xyz.ndim == 2:
-            pe_xyz = jnp.broadcast_to(pe_xyz[None], (tokens.shape[0], *pe_xyz.shape))
-        return self.transhe(tokens, pe_xyz, mask)
+    def refine_tokens(self, tokens, pe, mask=None):
+        """tokens: (V, C, D); pe: (C, 3)/(V, C, 3) normalized canonical
+        cluster centroids, or a precomputed (C, D)/(V, C, D) PE table."""
+        if pe.ndim == 2:
+            pe = jnp.broadcast_to(pe[None], (tokens.shape[0], *pe.shape))
+        return self.transhe(tokens, pe, mask)
 
     def query(
         self,

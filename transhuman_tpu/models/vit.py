@@ -77,16 +77,25 @@ class TransHE(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, tokens, pe_xyz, mask=None):
-        """tokens: (B, C, D); pe_xyz: (B, C, 3) normalized canonical centroids;
-        mask: optional (B, C) bool — True replaces the token with mask_token."""
+    def __call__(self, tokens, pe, mask=None):
+        """tokens: (B, C, D); pe: either (B, C, 3) normalized canonical
+        centroids (embedded here) or a precomputed (B, C, D) encoding table;
+        mask: optional (B, C) bool — True replaces the token with mask_token.
+
+        A precomputed table matters for reference-checkpoint parity: at
+        embed_dim=192 the encoding's top band is pi*2^31, where f32
+        `sin(x*f + pi/2)` and `cos(x*f)` are uncorrelated — the reference's
+        high bands are deterministic pseudo-noise its weights were trained
+        against, so the converter stores the reference-op-exact table
+        (tools/convert_checkpoint.py --pe_table)."""
         mask_token = self.param(
             "mask_token", nn.initializers.zeros, (1, 1, self.embed_dim), jnp.float32
         )
         if mask is not None:
             tokens = jnp.where(mask[..., None], mask_token.astype(tokens.dtype), tokens)
-        pe = embed_vit_pos(pe_xyz, self.embed_dim).astype(tokens.dtype)
-        x = tokens + pe
+        if pe.shape[-1] != self.embed_dim:
+            pe = embed_vit_pos(pe, self.embed_dim)
+        x = tokens + pe.astype(tokens.dtype)
         for i in range(self.depth):
             x = Block(
                 self.embed_dim, self.num_heads, self.mlp_ratio,

@@ -94,6 +94,7 @@ class RenderPipeline:
         white_bkgd: bool = False,
         raw_noise_std: float = 0.0,
         pe_box: float = 1.5,
+        pe_table: Optional[np.ndarray] = None,
     ):
         self.model = model
         self.n_samples = n_samples
@@ -102,10 +103,21 @@ class RenderPipeline:
         self.white_bkgd = white_bkgd
         self.raw_noise_std = raw_noise_std
         self.pool = jnp.asarray(cluster.pool_matrix)  # (C, Nv)
-        # canonical-centroid positional encoding input, normalized to the
-        # fixed [-pe_box, pe_box]^3 box (if_clight_renderer.py:50,373-383)
-        pe_can = cluster.pool_matrix @ np.asarray(canonical_verts, np.float32)
-        self.pe_can = jnp.asarray(normalize_positions(pe_can, pe_box))
+        if pe_table is not None:
+            # reference-op-exact TransHE PE table from the checkpoint
+            # converter (see models/vit.py docstring on high-band parity)
+            self.pe_can = jnp.asarray(pe_table)
+        else:
+            # canonical-centroid positional encoding, normalized to the fixed
+            # [-pe_box, pe_box]^3 box (if_clight_renderer.py:50,373-383) and
+            # embedded once here — it is a constant (C, D) table
+            from ..models.embedder import embed_vit_pos
+
+            pe_can = cluster.pool_matrix @ np.asarray(canonical_verts, np.float32)
+            pe_can = normalize_positions(pe_can, pe_box)
+            self.pe_can = jnp.asarray(
+                embed_vit_pos(pe_can, model.embed_dim), jnp.float32
+            )
 
     # -- prologue ------------------------------------------------------
     def prologue(self, params, frame: FrameInputs) -> Prologue:
