@@ -61,10 +61,72 @@ for case in range(16):
     _TET_CASES[case] = tris
 
 
-def marching_tetrahedra(grid: np.ndarray, threshold: float):
+_native = None
+_native_checked = False
+
+
+def _load_native():
+    global _native, _native_checked
+    if not _native_checked:
+        _native_checked = True
+        try:
+            from ..native import load_library
+            import ctypes
+
+            lib = load_library("marching")
+            if lib is not None:
+                lib.mt_march.restype = ctypes.c_int
+                lib.mt_march.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_float,
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+                    ctypes.POINTER(ctypes.c_int64),
+                ]
+                _native = lib
+        except Exception as e:  # pragma: no cover - env-dependent
+            print(f"NOTE: native marching backend unavailable: {e}")
+    return _native
+
+
+def _march_native(lib, grid: np.ndarray, threshold: float):
+    import ctypes
+
+    g = np.ascontiguousarray(grid, np.float32)
+    vp = ctypes.POINTER(ctypes.c_float)()
+    tp = ctypes.POINTER(ctypes.c_int64)()
+    nv = ctypes.c_int64()
+    nt = ctypes.c_int64()
+    rc = lib.mt_march(
+        g.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        *g.shape, ctypes.c_float(threshold),
+        ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(tp), ctypes.byref(nt),
+    )
+    if rc != 0:
+        raise MemoryError("mt_march failed")
+    verts = np.ctypeslib.as_array(vp, (nv.value, 3)).copy()
+    tris = np.ctypeslib.as_array(tp, (nt.value, 3)).copy()
+    lib.mt_free(vp, tp)
+    return verts, tris
+
+
+def marching_tetrahedra(grid: np.ndarray, threshold: float, use_native: bool = True):
     """grid: (X, Y, Z) scalar field.  Returns (vertices (N,3) float32 in
     index coordinates, triangles (M,3) int64).  Vertices lie on grid edges,
-    linearly interpolated to the iso-level; shared edges are merged."""
+    linearly interpolated to the iso-level; shared edges are merged.
+
+    Uses the C++ backend (native/marching_tet.cc) when buildable; the numpy
+    path below is the always-available reference implementation."""
+    if use_native:
+        lib = _load_native()
+        if lib is not None:
+            return _march_native(lib, grid, threshold)
+    return _marching_tetrahedra_np(grid, threshold)
+
+
+def _marching_tetrahedra_np(grid: np.ndarray, threshold: float):
     grid = np.asarray(grid, np.float32)
     nx, ny, nz = grid.shape
     cx, cy, cz = nx - 1, ny - 1, nz - 1

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -64,7 +65,12 @@ def dparf_representation(
     n = pts_smpl.shape[0]
     c = cluster_centers.shape[0]
 
-    dist, idx = knn_ops.knn(pts_smpl, cluster_centers, k, precision=precision)
+    # distances to ALL centers once; top-k gives both the neighbour ids (for
+    # the local-frame PE) and the k-th distance (the dense-softmax threshold)
+    d2 = knn_ops.pairwise_dist2(pts_smpl, cluster_centers, precision=precision)
+    dist_full = jnp.sqrt(jnp.maximum(d2, 1e-12))  # (N, C)
+    neg_top, idx = jax.lax.top_k(-dist_full, k)
+    dist = -neg_top  # (N, k) ascending
     w = knn_ops.knn_softmax_weights(dist, dist_alpha)  # (N, k)
 
     keep_mask = None
@@ -79,8 +85,13 @@ def dparf_representation(
     pe = embed_dparf(local, n_freqs)  # (N, k, 3+6*n_freqs)
     pe_agg = jnp.einsum("nk,nkd->nd", w, pe)
 
-    # token aggregation as a dense MXU matmul (see module docstring)
-    w_dense = knn_ops.dense_weight_matrix(idx, w, c)  # (N, C)
+    # token aggregation as a dense MXU matmul: softmax(-d/alpha) masked to the
+    # k nearest columns equals the gathered top-k softmax (up to exact-tie
+    # points, a measure-zero set), with no (N,k,C) one-hot intermediate and
+    # no (V,N,k,D) token gather — (N,C) @ (C,D) runs on the MXU.
+    kth = dist[:, -1:]
+    logits = jnp.where(dist_full <= kth, -dist_full / dist_alpha, -jnp.inf)
+    w_dense = jax.nn.softmax(logits, axis=-1)  # (N, C)
     tok_agg = jnp.einsum("nc,vcd->vnd", w_dense, tokens, precision=precision)
 
     v = tokens.shape[0]
