@@ -22,6 +22,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: first run pays the (slow, tunneled) XLA:TPU
+# compile; subsequent runs start in seconds
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REFERENCE_RAYS_PER_SEC = 50_000.0
 
 N_RAYS = 65_536
