@@ -67,6 +67,29 @@ VARIANTS = {  # embed_dim, num_heads (vision_transformer.py:404-417)
 }
 
 
+def random_token_mask(
+    rng,
+    num_tokens: int,
+    mask_ratio=(0.1, 0.5),
+    mask_prob: float = 0.5,
+):
+    """Host-side random token-masking generator (parity with the reference's
+    RandomMaskingGenerator, vision_transformer.py:37-70 — dormant machinery:
+    the forward always receives mask=None at if_clight_renderer.py:538).
+
+    rng: np.random.Generator. Returns (num_tokens,) bool, True = masked.
+    """
+    import numpy as np
+
+    n_mask = 0
+    if (mask_ratio[0] or mask_ratio[1]) and rng.random() <= mask_prob:
+        n_mask = int(rng.uniform(*mask_ratio) * num_tokens)
+    mask = np.zeros(num_tokens, bool)
+    mask[num_tokens - n_mask :] = True
+    rng.shuffle(mask)
+    return mask
+
+
 class TransHE(nn.Module):
     """ViT over cluster tokens with canonical-centroid positional encoding."""
 

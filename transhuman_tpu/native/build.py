@@ -11,6 +11,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 
 SOURCES = {
     "marching": "marching_tet.cc",
+    "rasterize": "rasterize.cc",
 }
 
 

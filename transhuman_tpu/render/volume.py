@@ -38,6 +38,41 @@ def sample_along_rays(ray_o, ray_d, near, far, n_samples: int, rng=None):
     return pts, z_vals
 
 
+def sample_pdf(bins, weights, n_samples: int, rng=None):
+    """Hierarchical importance sampling along rays.
+
+    The reference carries this unused (its CUDA `torchsearchsorted` import is
+    dead, nerf_net_utils.py:63-98); provided here working, via
+    jnp.searchsorted, for importance-sampling experiments.
+
+    bins: (R, B+1) depth bin edges; weights: (R, B) coarse weights.
+    Returns (R, n_samples) new depth samples (uniform mid-CDF when rng None).
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # (R,B+1)
+
+    if rng is None:
+        u = jnp.linspace(0.0, 1.0, n_samples, dtype=bins.dtype)
+        u = jnp.broadcast_to(u, (*cdf.shape[:-1], n_samples))
+    else:
+        u = jax.random.uniform(rng, (*cdf.shape[:-1], n_samples), dtype=bins.dtype)
+
+    idx = jnp.clip(
+        jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u) - 1,
+        0,
+        weights.shape[-1] - 1,
+    )
+    cdf_lo = jnp.take_along_axis(cdf, idx, axis=-1)
+    cdf_hi = jnp.take_along_axis(cdf, idx + 1, axis=-1)
+    bin_lo = jnp.take_along_axis(bins, idx, axis=-1)
+    bin_hi = jnp.take_along_axis(bins, idx + 1, axis=-1)
+    denom = jnp.where(cdf_hi - cdf_lo < 1e-5, 1.0, cdf_hi - cdf_lo)
+    t = (u - cdf_lo) / denom
+    return bin_lo + t * (bin_hi - bin_lo)
+
+
 def composite(
     raw,
     z_vals,
