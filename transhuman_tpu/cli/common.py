@@ -15,7 +15,22 @@ from ..models.network import TransHumanNet
 from ..render.pipeline import RenderPipeline
 
 
+def _honor_jax_platforms_env():
+    """Apply JAX_PLATFORMS via jax.config: some PJRT plugins (the axon TPU
+    tunnel) ignore the environment variable, which silently puts CPU-only
+    runs on the TPU."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass  # backends already initialized
+
+
 def parse_args(argv=None, need_type: bool = False):
+    _honor_jax_platforms_env()
     p = argparse.ArgumentParser()
     p.add_argument("--cfg_file", default=None)
     if need_type:
@@ -71,6 +86,7 @@ def build_runtime(
         white_bkgd=cfg.white_bkgd,
         raw_noise_std=cfg.raw_noise_std,
         pe_table=pe_table,
+        use_pallas=cfg.use_pallas_knn,
     )
     return model, pipe, smpl, cluster
 

@@ -166,7 +166,8 @@ class Config:
     chunk_size: int = 32768  # points per inference chunk (if_clight_renderer.py:575)
     cull_distance: float = 0.1  # SMPL-distance point cull (if_clight_renderer.py:442)
     pad_bucket: int = 8192  # ray-count padding granularity for static shapes
-    use_pallas_knn: bool = True  # fused Pallas kNN kernel on TPU (kernels/knn.py)
+    use_pallas_knn: bool = False  # fused Pallas DPaRF kernel (kernels/dparf.py;
+    # measured slower than the XLA composition on v5e — see its docstring)
     mesh_axis_data: int = 1  # data-parallel mesh size (1 = single chip)
     mesh_axis_rays: int = 1  # ray/sequence-parallel mesh size for inference
 

@@ -85,6 +85,20 @@ class ZJUDataset:
         self.start_end: Dict[str, dict] = {}
         self.human2frame_cam: Dict[str, tuple] = {}
 
+        missing = [
+            h for h in self.human_list
+            if not os.path.exists(os.path.join(self.data_root, h, "annots.npy"))
+        ]
+        if missing:
+            if len(missing) == len(self.human_list):
+                raise FileNotFoundError(
+                    f"no annots.npy for any of {self.human_list} under "
+                    f"{self.data_root!r}"
+                )
+            print(f"WARNING: skipping humans missing from disk: {missing}")
+            self.human_list = [h for h in self.human_list if h not in missing]
+            self.human2idx = {h: i for i, h in enumerate(self.human_list)}
+
         for human in self.human_list:
             root = os.path.join(self.data_root, human)
             annots = np.load(

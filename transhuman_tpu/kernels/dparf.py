@@ -1,0 +1,181 @@
+"""Fused DPaRF binding kernel (Pallas, TPU).
+
+Replaces the jnp composition in models/heads.dparf_representation for the
+inference hot path (the reference's CUDA `knn_points` + gather + softmax
+aggregation, cross_transformer.py:158-205): per point-tile, compute squared
+distances to all cluster centers on the MXU, extract the 7 nearest by
+iterative min (VPU), softmax the distances, aggregate cluster tokens with a
+dense (tile x C) @ (C x V*D) matmul, and build the neighbour-frame sin-cos
+positional code — all inside VMEM.  The (N x C) distance matrix and the
+(N x k x ...) gather intermediates never touch HBM.
+
+HBM traffic per point: 12 B of coordinates in, ~1.3 KB of features out —
+vs ~6 KB of intermediates for the unfused jnp path.
+
+Forward-only (inference); training renders keep the differentiable jnp path
+(2400 rays/step makes DPaRF cheap there).
+
+MEASURED (v5e, 1.05M pts): 455 ms fused vs 167 ms for the jnp composition —
+XLA already keeps this op fusion-friendly, and Mosaic's cross-lane
+argmin/min reductions in the k-loop dominate the kernel.  The kernel is
+therefore OFF by default (cfg.use_pallas_knn); it remains correct
+(interpret-mode equality tests) and is the starting point for a future
+two-pass formulation.  Compiled-mode neighbour selection can also differ
+from XLA at near-ties (MXU vs VPU distance rounding), which the
+high-frequency PE amplifies.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 256  # points per grid step (VMEM working set ~4 MB at C=300, VD=576)
+_PAD_CENTER = 1e6  # sentinel coordinate for padded cluster rows
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _kernel(pts_ref, centers_ref, rot_ref, tokens_ref, tok_out, pe_out,
+            dist_out, *, k, alpha, n_freqs, pe_dim):
+    """Streaming formulation: a single pass over the k neighbours keeps ONE
+    one-hot (T, Cp) matrix live at a time (the naive version's 7 stored
+    one-hots blew the 16MB VMEM scope).  Softmax is computed unnormalized
+    against the nearest distance (exp(-(d_k - d_0)/alpha), all <= 1, exact)
+    and normalized once at the end."""
+    p = pts_ref[:]  # (T, 3) f32
+    c = centers_ref[:]  # (Cp, 3) f32
+    t, cp = p.shape[0], c.shape[0]
+
+    d2 = (
+        jnp.sum(p * p, axis=1, keepdims=True)
+        + jnp.sum(c * c, axis=1)[None, :]
+        - 2.0 * jnp.dot(p, c.T, preferred_element_type=jnp.float32)
+    )  # (T, Cp); padded center rows are ~1e12 away and never selected
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, cp), 1)
+    rot = rot_ref[:]  # (Cp, 9) row-major R[i, j] at col i*3+j
+    tokens = tokens_ref[:].astype(jnp.float32)  # (Cp, VD)
+
+    d0 = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 1e-12))  # (T,)
+    cur = d2
+    u_sum = jnp.zeros((t,), jnp.float32)
+    w_dense = jnp.zeros((t, cp), jnp.float32)
+    pe_acc = jnp.zeros((t, pe_dim), jnp.float32)
+    for i in range(k):
+        a = jnp.argmin(cur, axis=1).astype(jnp.int32)  # (T,)
+        v = jnp.min(cur, axis=1)
+        sel = col == a[:, None]
+        cur = jnp.where(sel, jnp.inf, cur)
+        oh = sel.astype(jnp.float32)  # (T, Cp) — the only live one-hot
+        d_i = jnp.sqrt(jnp.maximum(v, 1e-12))
+        dist_out[:, i] = d_i
+        u = jnp.exp(-(d_i - d0) / alpha)  # (T,) in (0, 1]
+        u_sum = u_sum + u
+        w_dense = w_dense + u[:, None] * oh  # token matmul happens ONCE below
+
+        ck = jnp.dot(oh, c, preferred_element_type=jnp.float32)  # (T, 3)
+        rk = jnp.dot(oh, rot, preferred_element_type=jnp.float32)  # (T, 9)
+        rel = p - ck
+        # local_j = sum_i rel_i * R[i, j]
+        lx = rel[:, 0] * rk[:, 0] + rel[:, 1] * rk[:, 3] + rel[:, 2] * rk[:, 6]
+        ly = rel[:, 0] * rk[:, 1] + rel[:, 1] * rk[:, 4] + rel[:, 2] * rk[:, 7]
+        lz = rel[:, 0] * rk[:, 2] + rel[:, 1] * rk[:, 5] + rel[:, 2] * rk[:, 8]
+        local = jnp.stack([lx, ly, lz], axis=1)  # (T, 3)
+        parts = [local]
+        for f in range(n_freqs):
+            s = local * np.float32(np.pi * 2.0**f)
+            parts.append(jnp.sin(s))
+            parts.append(jnp.cos(s))
+        pe_k = jnp.concatenate(parts, axis=1)  # (T, 3 + 6*n_freqs)
+        pad = pe_dim - pe_k.shape[1]
+        if pad:
+            pe_k = jnp.pad(pe_k, ((0, 0), (0, pad)))
+        pe_acc = pe_acc + u[:, None] * pe_k
+
+    inv = 1.0 / u_sum[:, None]
+    tok_acc = jnp.dot(w_dense, tokens, preferred_element_type=jnp.float32)
+    tok_out[:] = (tok_acc * inv).astype(tok_out.dtype)
+    pe_out[:] = pe_acc * inv
+    if dist_out.shape[1] > k:
+        dist_out[:, k:] = jnp.zeros((t, dist_out.shape[1] - k), jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "alpha", "n_freqs", "interpret")
+)
+def dparf_fused(
+    pts_smpl,
+    cluster_centers,
+    cluster_rot,
+    tokens,
+    k: int = 7,
+    alpha: float = 0.5,
+    n_freqs: int = 10,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """pts_smpl (N,3) f32; centers (C,3); rot (C,3,3); tokens (V,C,D).
+
+    Returns (tok_agg (V,N,D) tokens.dtype, pe_agg (N, 3+6*n_freqs) f32,
+    knn_dist (N,k) f32 ascending).  N must be a multiple of TILE.
+    """
+    n = pts_smpl.shape[0]
+    v, c, dm = tokens.shape
+    assert n % TILE == 0, f"N={n} not a multiple of {TILE}"
+    cp = _round_up(c, 128)
+    pe_raw = 3 + 6 * n_freqs
+    pe_dim = _round_up(pe_raw, 128)
+
+    centers_p = jnp.pad(
+        cluster_centers.astype(jnp.float32),
+        ((0, cp - c), (0, 0)),
+        constant_values=_PAD_CENTER,
+    )
+    rot_p = jnp.pad(
+        cluster_rot.reshape(c, 9).astype(jnp.float32), ((0, cp - c), (0, 0))
+    )
+    # (C, V*D): column v*D + d <-> view v, feature d
+    tokens_p = jnp.pad(
+        jnp.transpose(tokens, (1, 0, 2)).reshape(c, v * dm), ((0, cp - c), (0, 0))
+    )
+
+    kernel = functools.partial(
+        _kernel, k=k, alpha=alpha, n_freqs=n_freqs, pe_dim=pe_dim
+    )
+    tok, pe, dist = pl.pallas_call(
+        kernel,
+        grid=(n // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, 9), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, v * dm), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE, v * dm), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, pe_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, v * dm), tokens.dtype),
+            jax.ShapeDtypeStruct((n, pe_dim), jnp.float32),
+            jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # the unrolled k-loop's live set slightly exceeds the 16MB
+            # default scoped-vmem budget; v5e has far more physical VMEM
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(pts_smpl.astype(jnp.float32), centers_p, rot_p, tokens_p)
+
+    tok_agg = jnp.transpose(tok.reshape(n, v, dm), (1, 0, 2))
+    return tok_agg, pe[:, :pe_raw], dist[:, :k]

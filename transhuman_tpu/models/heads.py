@@ -69,8 +69,7 @@ def dparf_representation(
     # the local-frame PE) and the k-th distance (the dense-softmax threshold)
     d2 = knn_ops.pairwise_dist2(pts_smpl, cluster_centers, precision=precision)
     dist_full = jnp.sqrt(jnp.maximum(d2, 1e-12))  # (N, C)
-    neg_top, idx = jax.lax.top_k(-dist_full, k)
-    dist = -neg_top  # (N, k) ascending
+    dist, idx = knn_ops.topk_min(dist_full, k)  # (N, k) ascending
     w = knn_ops.knn_softmax_weights(dist, dist_alpha)  # (N, k)
 
     keep_mask = None

@@ -107,6 +107,11 @@ class TransHumanNet(nn.Module):
             pts_mask = keep if pts_mask is None else (pts_mask & keep)
         return self.heads(human_rep, pixel_feat, viewdir_embed, pts_mask)
 
+    def decode(self, human_rep, pixel_feat, viewdir_embed, pts_mask=None):
+        """Heads-only decode for externally computed DPaRF representations
+        (the fused Pallas kernel path, kernels/dparf.py)."""
+        return self.heads(human_rep, pixel_feat, viewdir_embed, pts_mask)
+
     def __call__(self, images, tokens_pe, pts_smpl, centers, rot, viewdir_embed):
         """Init-only convenience path touching every submodule once."""
         holder_map, pixel_map = self.encode_views(images)

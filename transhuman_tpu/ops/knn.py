@@ -34,6 +34,27 @@ def pairwise_dist2(pts, refs, precision=None):
     return jnp.maximum(p2 + r2[None, :] - 2.0 * cross, 0.0)
 
 
+def topk_min(d, k: int):
+    """Smallest-k values+indices per row of d (N, C): iterative extraction.
+
+    XLA's `lax.top_k` lowers to a per-row sort on TPU — measured ~4x slower
+    than k passes of (argmin + mask) for k=7, C=300.  Results are set-equal
+    to top_k (ascending order; ties broken by lowest index, matching argmin
+    semantics).  All passes are pure VPU map-reduces, no scatters.
+    """
+    n, c = d.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, c), 1)
+    cur = d
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmin(cur, axis=-1).astype(jnp.int32)
+        v = jnp.min(cur, axis=-1)
+        vals.append(v)
+        idxs.append(i)
+        cur = jnp.where(col == i[:, None], jnp.inf, cur)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+
 def knn(pts, refs, k: int, precision=None):
     """k nearest refs per point: returns (dist, idx), dist = euclidean (sqrt'd),
     ascending, shapes (N,k).
@@ -43,8 +64,8 @@ def knn(pts, refs, k: int, precision=None):
     would otherwise inject inf into the backward pass).
     """
     d2 = pairwise_dist2(pts, refs, precision=precision)
-    neg_top, idx = jax.lax.top_k(-d2, k)
-    return jnp.sqrt(jnp.maximum(-neg_top, 1e-12)), idx
+    d2k, idx = topk_min(d2, k)
+    return jnp.sqrt(jnp.maximum(d2k, 1e-12)), idx
 
 
 def min_dist(pts, refs, precision=None, ref_block: int = 1024):

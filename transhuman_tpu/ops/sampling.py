@@ -20,6 +20,7 @@ flattened H*W axis (4 taps), which XLA lowers to a single gather per tap.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -71,22 +72,30 @@ def sample_feature_map(feat, uv, image_shape):
     y0 = jnp.floor(fy)
     wx = (fx - x0).astype(feat.dtype)[..., None]
     wy = (fy - y0).astype(feat.dtype)[..., None]
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    x1i = jnp.minimum(x0i + 1, Wf - 1)
-    y1i = jnp.minimum(y0i + 1, Hf - 1)
+    # one 2x2xC patch gather per point instead of four 1xC tap gathers:
+    # larger contiguous slices, one HBM gather pass (clip handles borders;
+    # the x0==Wf-1 column double-reads the border texel, weight math below
+    # still interpolates correctly because wx<=1)
+    x0i = jnp.minimum(x0.astype(jnp.int32), Wf - 2) if Wf > 1 else x0.astype(jnp.int32)
+    y0i = jnp.minimum(y0.astype(jnp.int32), Hf - 2) if Hf > 1 else y0.astype(jnp.int32)
+    # after the min-clamp the fractional weight must be recomputed relative
+    # to the (possibly shifted) base texel so the sample point is unchanged
+    wx = (fx - x0i).astype(feat.dtype)[..., None]
+    wy = (fy - y0i).astype(feat.dtype)[..., None]
 
-    flat = feat.reshape(V, Hf * Wf, C)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
 
-    def tap(yi, xi):
-        idx = yi * Wf + xi  # (V, N)
-        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+    def view_gather(f_hwc, yi, xi):
+        starts = jnp.stack([yi, xi], axis=-1)  # (N, 2)
+        return jax.lax.gather(
+            f_hwc, starts, dnums, slice_sizes=(2, 2, C), mode="clip"
+        )  # (N, 2, 2, C)
 
-    f00 = tap(y0i, x0i)
-    f01 = tap(y0i, x1i)
-    f10 = tap(y1i, x0i)
-    f11 = tap(y1i, x1i)
-
-    top = f00 * (1 - wx) + f01 * wx
-    bot = f10 * (1 - wx) + f11 * wx
+    patches = jax.vmap(view_gather)(feat, y0i, x0i)  # (V, N, 2, 2, C)
+    top = patches[:, :, 0, 0] * (1 - wx) + patches[:, :, 0, 1] * wx
+    bot = patches[:, :, 1, 0] * (1 - wx) + patches[:, :, 1, 1] * wx
     return top * (1 - wy) + bot * wy

@@ -95,10 +95,12 @@ class RenderPipeline:
         raw_noise_std: float = 0.0,
         pe_box: float = 1.5,
         pe_table: Optional[np.ndarray] = None,
+        use_pallas: bool = False,
     ):
         self.model = model
         self.n_samples = n_samples
         self.chunk_rays = chunk_rays
+        self.use_pallas = use_pallas
         self.cull_distance = cull_distance
         self.white_bkgd = white_bkgd
         self.raw_noise_std = raw_noise_std
@@ -145,12 +147,42 @@ class RenderPipeline:
         pts_world,
         viewdir_embed,
         pts_mask=None,
+        allow_pallas: bool = False,
     ):
-        """pts_world (N,3), viewdir_embed (N,27) -> raw (N,4)."""
+        """pts_world (N,3), viewdir_embed (N,27) -> raw (N,4).
+
+        allow_pallas: use the fused DPaRF kernel (forward-only; the train
+        path keeps the differentiable jnp composition)."""
         pts_smpl = (pts_world - frame.Th) @ frame.Rh
         uv, _ = project_points(pts_world, frame.K, frame.R, frame.T)
         image_shape = frame.images.shape[1:3]
         pixel_feat = sample_feature_map(pro.pixel_map, uv, image_shape)
+
+        m = self.model
+        from ..kernels.dparf import TILE, dparf_fused
+
+        if allow_pallas and self.use_pallas and pts_world.shape[0] % TILE == 0:
+            tok, pe, dist = dparf_fused(
+                pts_smpl,
+                pro.centers,
+                pro.rot,
+                pro.tokens,
+                k=m.knn_k,
+                alpha=m.knn_dist_alpha,
+                n_freqs=m.knn_freqs,
+                interpret=jax.devices()[0].platform == "cpu",
+            )
+            v, n, _ = tok.shape
+            rep = jnp.concatenate(
+                [tok, jnp.broadcast_to(pe[None].astype(tok.dtype), (v, n, pe.shape[-1]))],
+                axis=-1,
+            )
+            if m.use_truncation:
+                keep = dist[:, 0] < m.knn_sigma
+                pts_mask = keep if pts_mask is None else (pts_mask & keep)
+            return self.model.apply(
+                params, rep, pixel_feat, viewdir_embed, pts_mask, method="decode"
+            )
         return self.model.apply(
             params,
             pts_smpl,
@@ -223,7 +255,9 @@ class RenderPipeline:
             c_vde_b = jnp.broadcast_to(
                 c_vde[:, None, :], (cr, s, c_vde.shape[-1])
             ).reshape(cr * s, -1)
-            raw = self.query_points(params, frame, pro, flat_pts, c_vde_b, mask)
+            raw = self.query_points(
+                params, frame, pro, flat_pts, c_vde_b, mask, allow_pallas=True
+            )
             return raw.reshape(cr, s, 4).astype(jnp.float32)
 
         chunks = (
@@ -265,7 +299,8 @@ class RenderPipeline:
             pts_smpl = (c_pts - frame.Th) @ frame.Rh
             near_body = min_dist(pts_smpl, frame.tar_verts_smpl) < self.cull_distance
             raw = self.query_points(
-                params, frame, pro, c_pts, vde, c_mask & near_body
+                params, frame, pro, c_pts, vde, c_mask & near_body,
+                allow_pallas=True,
             )
             return raw[:, 3].astype(jnp.float32)
 
