@@ -1,0 +1,32 @@
+"""Ray-sharded inference over the virtual 8-device mesh == single device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transhuman_tpu.parallel import make_mesh
+from transhuman_tpu.parallel.infer import make_sharded_render
+from transhuman_tpu.render.pipeline import pad_rays
+from transhuman_tpu.testing import init_params, synthetic_rays, synthetic_setup
+
+
+def test_sharded_render_matches_single():
+    model, pipe, frame, _, cluster = synthetic_setup(
+        image_hw=(24, 24), n_verts=80, n_clusters=10, n_samples=4,
+        chunk_rays=4, embed_dim=12, vit_depth=1, vit_heads=2, knn_k=3,
+    )
+    params = init_params(model, frame, cluster.num_clusters, jax.random.PRNGKey(0))
+    frame = jax.tree.map(jnp.asarray, frame)
+    mesh = make_mesh(8)
+    render, pad_mult = make_sharded_render(pipe, mesh)
+    assert pad_mult == 32
+
+    rays = pad_rays(synthetic_rays(40), pad_mult)
+    rays = jax.tree.map(jnp.asarray, rays)
+
+    out_sharded = render(params, frame, rays)
+    out_single = jax.jit(pipe.render_frame)(params, frame, rays)
+    for k in out_single:
+        np.testing.assert_allclose(
+            np.asarray(out_sharded[k]), np.asarray(out_single[k]), atol=1e-5
+        )

@@ -65,32 +65,32 @@ def dparf_representation(
     n = pts_smpl.shape[0]
     c = cluster_centers.shape[0]
 
-    # distances to ALL centers once; top-k gives both the neighbour ids (for
-    # the local-frame PE) and the k-th distance (the dense-softmax threshold)
+    # one streaming pass builds the kNN distances, the dense softmax weight
+    # matrix, AND the per-neighbour center/rotation rows (as one-hot MXU
+    # matmuls — XLA row gathers of these tiny rows were the DPaRF hot spot)
+    c_rows = cluster_centers.shape[0]
+    aux = jnp.concatenate(
+        [cluster_centers, cluster_rot.reshape(c_rows, 9)], axis=1
+    )  # (C, 12)
     d2 = knn_ops.pairwise_dist2(pts_smpl, cluster_centers, precision=precision)
-    dist_full = jnp.sqrt(jnp.maximum(d2, 1e-12))  # (N, C)
-    dist, idx = knn_ops.topk_min(dist_full, k)  # (N, k) ascending
-    w = knn_ops.knn_softmax_weights(dist, dist_alpha)  # (N, k)
+    w_dense, dist, aux_k = knn_ops.dparf_dense_weights(
+        d2, k, dist_alpha, aux=aux, precision=precision
+    )
+    w = knn_ops.knn_softmax_weights(dist, dist_alpha)  # (N, k) for the PE part
 
     keep_mask = None
     if knn_sigma is not None:
         keep_mask = dist[:, 0] < knn_sigma
 
     # local coordinates in each neighbour's deformed frame: (p - c_k) @ R_k
-    centers_k = jnp.take(cluster_centers, idx, axis=0)  # (N, k, 3)
-    rot_k = jnp.take(cluster_rot, idx, axis=0)  # (N, k, 3, 3)
+    centers_k = aux_k[..., :3]  # (N, k, 3)
+    rot_k = aux_k[..., 3:].reshape(n, k, 3, 3)
     rel = pts_smpl[:, None, :] - centers_k
     local = jnp.einsum("nki,nkij->nkj", rel, rot_k, precision=precision)
     pe = embed_dparf(local, n_freqs)  # (N, k, 3+6*n_freqs)
     pe_agg = jnp.einsum("nk,nkd->nd", w, pe)
 
-    # token aggregation as a dense MXU matmul: softmax(-d/alpha) masked to the
-    # k nearest columns equals the gathered top-k softmax (up to exact-tie
-    # points, a measure-zero set), with no (N,k,C) one-hot intermediate and
-    # no (V,N,k,D) token gather — (N,C) @ (C,D) runs on the MXU.
-    kth = dist[:, -1:]
-    logits = jnp.where(dist_full <= kth, -dist_full / dist_alpha, -jnp.inf)
-    w_dense = jax.nn.softmax(logits, axis=-1)  # (N, C)
+    # token aggregation as one dense MXU matmul (no (V,N,k,D) token gather)
     tok_agg = jnp.einsum("nc,vcd->vnd", w_dense, tokens, precision=precision)
 
     v = tokens.shape[0]

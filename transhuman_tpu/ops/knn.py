@@ -55,6 +55,49 @@ def topk_min(d, k: int):
     return jnp.stack(vals, -1), jnp.stack(idxs, -1)
 
 
+def dparf_dense_weights(d2, k: int, alpha: float, aux=None, precision=None):
+    """Streaming top-k + softmax + dense-weight build in one loop over k.
+
+    d2: (N, C) squared distances.  Returns (w_dense (N, C) rows summing to 1
+    with exactly k nonzeros, dist (N, k) euclidean ascending, aux_k), where
+    aux_k is None or, given `aux` (C, A), the per-neighbour rows
+    (N, k, A) = aux[idx] — materialized via per-iteration one-hot *matmuls*
+    on the MXU instead of row gathers (measured 4x+ faster than XLA's
+    gather for these 12-48 B rows on v5e).
+
+    Equivalent to softmax(-sqrt(topk)/alpha) scattered to dense columns, but
+    the full matrix is touched only by the k argmin/mask passes — no (N, C)
+    sqrt/exp/threshold passes (softmax runs unnormalized against the nearest
+    distance, exp(-(d_i - d_0)/alpha) <= 1, and normalizes at the end).
+    """
+    n, c = d2.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, c), 1)
+    cur = d2
+    w_dense = jnp.zeros((n, c), d2.dtype)
+    u_sum = jnp.zeros((n,), d2.dtype)
+    d0 = None
+    dists, auxs = [], []
+    for _ in range(k):
+        a = jnp.argmin(cur, axis=-1).astype(jnp.int32)
+        v = jnp.min(cur, axis=-1)
+        sel = col == a[:, None]
+        d_i = jnp.sqrt(jnp.maximum(v, 1e-12))
+        if d0 is None:
+            d0 = d_i
+        u = jnp.exp(-(d_i - d0) / alpha)
+        w_dense = w_dense + jnp.where(sel, u[:, None], 0.0)
+        u_sum = u_sum + u
+        dists.append(d_i)
+        if aux is not None:
+            auxs.append(
+                jnp.matmul(sel.astype(aux.dtype), aux, precision=precision)
+            )
+        cur = jnp.where(sel, jnp.inf, cur)
+    w_dense = w_dense / u_sum[:, None]
+    aux_k = jnp.stack(auxs, axis=1) if aux is not None else None
+    return w_dense, jnp.stack(dists, -1), aux_k
+
+
 def knn(pts, refs, k: int, precision=None):
     """k nearest refs per point: returns (dist, idx), dist = euclidean (sqrt'd),
     ascending, shapes (N,k).
