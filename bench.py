@@ -31,7 +31,7 @@ REFERENCE_RAYS_PER_SEC = 50_000.0
 
 N_RAYS = 65_536
 N_SAMPLES = 64
-CHUNK_RAYS = 512  # 32768 points/chunk, the reference's chunk size
+CHUNK_RAYS = 512  # 32768 points/chunk, the reference chunk size; fastest measured
 IMAGE_HW = (512, 512)
 
 

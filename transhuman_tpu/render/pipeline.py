@@ -101,6 +101,7 @@ class RenderPipeline:
         self.n_samples = n_samples
         self.chunk_rays = chunk_rays
         self.use_pallas = use_pallas
+        self.use_pallas_cull = False  # XLA's blocked scan is VPU-bound and on par
         self.cull_distance = cull_distance
         self.white_bkgd = white_bkgd
         self.raw_noise_std = raw_noise_std
@@ -138,6 +139,27 @@ class RenderPipeline:
         rot = jnp.einsum("cv,vij->cij", self.pool, frame.blend_rot)
         return Prologue(tokens=tokens, pixel_map=pixel_map, centers=centers, rot=rot)
 
+    def _cull(self, pts_smpl, verts_smpl):
+        """SMPL-proximity mask (dist < cull_distance); fused Pallas kernel
+        when shapes allow (kernels/cull.py), blocked XLA scan otherwise."""
+        from ..kernels.cull import TILE_N, min_dist2_fused
+
+        n = pts_smpl.shape[0]
+        if self.use_pallas_cull and n % TILE_N == 0:
+            d2 = min_dist2_fused(
+                pts_smpl, verts_smpl,
+                interpret=jax.devices()[0].platform == "cpu",
+            )
+            return d2 < self.cull_distance**2
+        # bf16 arithmetic: the cull is VPU-bound and the threshold wobble at
+        # bf16 precision (~0.4% of 0.1 m) only perturbs empty-air boundary
+        # points whose density contribution is ~0
+        dt = jnp.bfloat16 if self.model.dtype is not None else jnp.float32
+        return (
+            min_dist(pts_smpl.astype(dt), verts_smpl.astype(dt))
+            < self.cull_distance
+        )
+
     # -- point decoding ------------------------------------------------
     def query_points(
         self,
@@ -155,6 +177,12 @@ class RenderPipeline:
         path keeps the differentiable jnp composition)."""
         pts_smpl = (pts_world - frame.Th) @ frame.Rh
         uv, _ = project_points(pts_world, frame.K, frame.R, frame.T)
+        if pts_mask is not None:
+            # SMPL-culled points produce raw=0 regardless (the reference
+            # skips them outright, cross_transformer.py:229-242); collapse
+            # their feature fetches onto one texel so the gather's random
+            # HBM traffic shrinks to the ~20% of points that matter
+            uv = jnp.where(pts_mask[None, :, None], uv, 0.0)
         image_shape = frame.images.shape[1:3]
         pixel_feat = sample_feature_map(pro.pixel_map, uv, image_shape)
 
@@ -248,9 +276,7 @@ class RenderPipeline:
             c_pts, c_vde, c_rmask = chunk  # (cr,S,3), (cr,27), (cr,)
             flat_pts = c_pts.reshape(cr * s, 3)
             pts_smpl = (flat_pts - frame.Th) @ frame.Rh
-            near_body = (
-                min_dist(pts_smpl, frame.tar_verts_smpl) < self.cull_distance
-            )
+            near_body = self._cull(pts_smpl, frame.tar_verts_smpl)
             mask = near_body & jnp.repeat(c_rmask, s)
             c_vde_b = jnp.broadcast_to(
                 c_vde[:, None, :], (cr, s, c_vde.shape[-1])
@@ -297,7 +323,7 @@ class RenderPipeline:
         def chunk_body(chunk):
             c_pts, c_mask = chunk
             pts_smpl = (c_pts - frame.Th) @ frame.Rh
-            near_body = min_dist(pts_smpl, frame.tar_verts_smpl) < self.cull_distance
+            near_body = self._cull(pts_smpl, frame.tar_verts_smpl)
             raw = self.query_points(
                 params, frame, pro, c_pts, vde, c_mask & near_body,
                 allow_pallas=True,
