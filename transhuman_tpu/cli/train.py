@@ -85,6 +85,14 @@ def main(argv=None, dataset=None, smpl=None):
         sample0 = dataset.get_train_sample(0)
         params = init_params(model, sample0.frame, cluster.num_clusters,
                              jax.random.PRNGKey(cfg.seed))
+        if cfg.pretrained and cfg.encoder_weights:
+            # ImageNet ResNet18 init (reference encoder.py:77-79), converted
+            # via tools/convert_resnet.py
+            from ..tools.convert_resnet import apply_pretrained
+
+            with np.load(cfg.encoder_weights) as z:
+                params = apply_pretrained(params, dict(z))
+            print(f"loaded pretrained encoder weights: {cfg.encoder_weights}")
         state = init_state(params, tx)
 
     rng0 = jax.random.PRNGKey(cfg.seed)
