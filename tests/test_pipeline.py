@@ -153,3 +153,16 @@ def test_culling_zeroes_far_rays(setup):
     )
     out = pipe.render_frame(params, frame, rays)
     np.testing.assert_array_equal(np.asarray(out["rgb_map"]), 0.0)
+
+
+def test_quantized_pixel_features_close_to_fp(setup):
+    """int8 pixel-map mode matches the fp path within quantization noise."""
+    pipe, params, frame, rays = setup
+    base = pipe.render_frame(params, frame, rays)
+    q = RenderPipeline.__new__(RenderPipeline)
+    q.__dict__.update(pipe.__dict__)
+    q.quantize_pixel_feat = True
+    quant = q.render_frame(params, frame, rays)
+    a, b = np.asarray(base["rgb_map"]), np.asarray(quant["rgb_map"])
+    assert np.abs(a - b).max() < 0.05
+    assert np.abs(a - b).mean() < 0.01

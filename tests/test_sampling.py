@@ -65,3 +65,38 @@ def test_project_points_matches_manual(rng):
     pix = cam @ K[0].T
     np.testing.assert_allclose(np.asarray(uv)[0], pix[:, :2] / pix[:, 2:], rtol=1e-5)
     np.testing.assert_allclose(np.asarray(z)[0], cam[:, 2], rtol=1e-5)
+
+
+def test_half_pixel_sampling_matches_torch(rng):
+    from transhuman_tpu.ops.sampling import sample_half_pixel
+
+    v, h, w, c = 2, 10, 12, 3
+    feat = rng.standard_normal((v, h, w, c)).astype(np.float32)
+    uv = np.stack(
+        [rng.uniform(-2, w + 2, (v, 64)), rng.uniform(-2, h + 2, (v, 64))], -1
+    ).astype(np.float32)
+    got = np.asarray(sample_half_pixel(feat, uv, (h, w)))
+    # oracle: reference convention uv/S*2-1 into default grid_sample
+    tfeat = torch.from_numpy(feat).permute(0, 3, 1, 2)
+    grid = torch.from_numpy(
+        np.stack([uv[..., 0] / w * 2 - 1, uv[..., 1] / h * 2 - 1], -1)
+    ).unsqueeze(2)
+    want = (
+        F.grid_sample(tfeat, grid, align_corners=False, padding_mode="zeros")
+        .permute(0, 2, 3, 1)[:, :, 0]
+        .numpy()
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_depth_visibility(rng):
+    from transhuman_tpu.ops.sampling import depth_visibility
+
+    # one camera at origin looking +z; two verts at z=2 and z=5; depth map 2.1
+    K = np.array([[[10.0, 0, 8], [0, 10.0, 8], [0, 0, 1]]], np.float32)
+    R = np.eye(3, dtype=np.float32)[None]
+    T = np.zeros((1, 3), np.float32)
+    depth = np.full((1, 16, 16), 2.1, np.float32)
+    verts = np.array([[0, 0, 2.0], [0, 0, 5.0]], np.float32)
+    vis = np.asarray(depth_visibility(depth, verts, K, R, T, det=0.07))
+    np.testing.assert_array_equal(vis[0], [1.0, 0.0])

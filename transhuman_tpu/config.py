@@ -130,6 +130,7 @@ class Config:
     jitter: bool = True
     depth_map: bool = False
     depth_vizmap: bool = False
+    depth_root: str = "data/zju_depth_map_train"
 
     # --- misc ---
     gpus: List[int] = field(default_factory=lambda: [0])
@@ -256,7 +257,7 @@ _IGNORED_KEYS = {
     "cross_transformer_network_path", "renderer_module", "renderer_path",
     "trainer_module", "trainer_path", "evaluator_module", "evaluator_path",
     "visualizer_module", "visualizer_path", "global_iter", "flag_train",
-    "img_feat_size", "embed_size", "depth_root", "local_rank", "distributed",
+    "img_feat_size", "embed_size", "local_rank", "distributed",
 }
 
 # Reference keys whose values are remapped rather than copied verbatim.

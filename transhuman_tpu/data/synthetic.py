@@ -86,12 +86,17 @@ class SyntheticDataset:
         h, w = self.hw
         ray_o, ray_d = get_rays(h, w, tK, tR, tT.reshape(3, 1))
         cap = npatch * ps * ps
-        # center patches on the subject's projected centroid
+        # center patches near the subject's projected centroid (the
+        # reference's subject_ratio patch placement, in spirit)
+        c3 = np.asarray(frame.verts_world).mean(0)
+        cam = np.asarray(tR) @ c3 + np.asarray(tT).reshape(3)
+        cx, cy = (np.asarray(tK) @ cam)[:2] / cam[2]
         rays_o, rays_d, near, far, pix = [], [], [], [], []
         target_patches = np.zeros((npatch, ps, ps, 3), np.float32)
         for p in range(npatch):
-            y0 = rng.integers(0, h - ps)
-            x0 = rng.integers(0, w - ps)
+            jy, jx = rng.integers(-ps, ps + 1, 2)
+            y0 = int(np.clip(cy - ps // 2 + jy, 0, h - ps))
+            x0 = int(np.clip(cx - ps // 2 + jx, 0, w - ps))
             target_patches[p] = np.asarray(timg)[y0 : y0 + ps, x0 : x0 + ps]
             yy, xx = np.meshgrid(range(y0, y0 + ps), range(x0, x0 + ps), indexing="ij")
             rays_o.append(ray_o[yy, xx].reshape(-1, 3))

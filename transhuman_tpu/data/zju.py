@@ -224,6 +224,23 @@ class ZJUDataset:
             allow_pickle=True,
         ).item()
 
+    def _depthmap(self, human, cam_id_1based, frame_str):
+        """Per-view depth map (reference stores torch .pt tensors under
+        cfg.depth_root, can_smpl.py:463-475). Returns (H, W) float32."""
+        import torch
+
+        p = os.path.join(
+            self.cfg.depth_root,
+            human,
+            self._cam_dir(human, cam_id_1based),
+            f"{frame_str}.pt",
+        )
+        d = torch.load(p, map_location="cpu", weights_only=False)
+        d = np.asarray(d)
+        if d.ndim == 3:  # (1, H, W) or (H, W, 1)
+            d = d[0] if d.shape[0] == 1 else d[..., 0]
+        return d.astype(np.float32)
+
     def _vizmap(self, human, cam_id_1based, frame_str):
         p = os.path.join(
             self.rasterize_root,
@@ -277,7 +294,7 @@ class ZJUDataset:
         # ---- input views (time_steps == 1: the painting frame IS the target
         # frame; multi-time support would loop here, if_clight_renderer.py:412)
         views = self._pick_input_views(human, rng)
-        imgs, viz, Ks, Rs, Ts = [], [], [], [], []
+        imgs, viz, Ks, Rs, Ts, depths = [], [], [], [], [], []
         for v in views:
             cam_id = (CAM_IDX_313[v] + 1) if human in SPECIAL_HUMANS else (v + 1)
             ipath = os.path.join(
@@ -291,6 +308,10 @@ class ZJUDataset:
             Rs.append(iR)
             Ts.append(iT)
             viz.append(self._vizmap(human, cam_id, str(frame_index).zfill(zfill)))
+            if self.cfg.depth_map:
+                depths.append(
+                    self._depthmap(human, cam_id, str(frame_index).zfill(zfill))
+                )
 
         # ---- SMPL for the target frame
         verts_world = self._vertices(human, frame_index)
@@ -311,6 +332,11 @@ class ZJUDataset:
             blend_rot=blend[:, :3, :3].copy(),
             Rh=Rh,
             Th=Th,
+            depth_maps=(
+                np.stack(depths)
+                if (self.cfg.depth_map and self.cfg.depth_vizmap and depths)
+                else None
+            ),
         )
 
         # world AABB, z-inflated (prepare_input, can_smpl.py:225-233)

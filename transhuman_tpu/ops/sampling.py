@@ -96,6 +96,70 @@ def sample_feature_map(feat, uv, image_shape):
         )  # (N, 2, 2, C)
 
     patches = jax.vmap(view_gather)(feat, y0i, x0i)  # (V, N, 2, 2, C)
+    if patches.dtype == jnp.int8:
+        patches = patches.astype(jnp.bfloat16)
+        wx = wx.astype(jnp.bfloat16)
+        wy = wy.astype(jnp.bfloat16)
     top = patches[:, :, 0, 0] * (1 - wx) + patches[:, :, 0, 1] * wx
     bot = patches[:, :, 1, 0] * (1 - wx) + patches[:, :, 1, 1] * wx
     return top * (1 - wy) + bot * wy
+
+
+def sample_half_pixel(feat, uv, image_shape):
+    """Bilinear sampling with half-pixel (align_corners=False) + zero-pad
+    semantics — the convention of the reference's depth-map lookup
+    (`get_relative_depth`, if_clight_renderer.py:75-93, which normalizes
+    uv/S*2-1 into default grid_sample).
+
+    feat: (V, Hf, Wf, C); uv: (V, N, 2) original-image pixel coords.
+    """
+    V, Hf, Wf, C = feat.shape
+    H_img, W_img = image_shape
+    fx = uv[..., 0] * (Wf / W_img) - 0.5
+    fy = uv[..., 1] * (Hf / H_img) - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = (fx - x0).astype(feat.dtype)[..., None]
+    wy = (fy - y0).astype(feat.dtype)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    flat = feat.reshape(V, Hf * Wf, C)
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < Hf) & (xi >= 0) & (xi < Wf)
+        idx = jnp.clip(yi, 0, Hf - 1) * Wf + jnp.clip(xi, 0, Wf - 1)
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return vals * valid[..., None].astype(feat.dtype)
+
+    top = tap(y0i, x0i) * (1 - wx) + tap(y0i, x0i + 1) * wx
+    bot = tap(y0i + 1, x0i) * (1 - wx) + tap(y0i + 1, x0i + 1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def depth_visibility(depth_maps, verts_world, K, R, T, det: float = 0.07):
+    """Vertex visibility from per-view depth maps (the reference's
+    depth_map/depth_vizmap mode, if_clight_renderer.py:75-93,128-133):
+    a vertex is visible in a view when its camera depth is within `det`
+    of the surface depth sampled at its projection.
+
+    depth_maps: (V, Hd, Wd); returns (V, Nv) float {0,1}.
+    """
+    uv, z = project_points(verts_world, K, R, T)
+    hd, wd = depth_maps.shape[1:3]
+    surf = sample_half_pixel(depth_maps[..., None], uv, (hd, wd))[..., 0]
+    return (z <= surf + det).astype(jnp.float32)
+
+
+def quantize_feature_map(feat, axes=(0, 1, 2)):
+    """Symmetric per-channel int8 quantization of a feature map.
+
+    Returns (q int8 same shape, scale (C,) f32).  Halves the per-point HBM
+    gather traffic of pixel-aligned feature sampling; dequantize the sampled
+    output with `sampled * scale` (linear ops commute with the bilinear
+    lerp, so dequantizing after sampling is exact up to rounding).
+    """
+    absmax = jnp.max(jnp.abs(feat.astype(jnp.float32)), axis=axes)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(feat.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale

@@ -59,6 +59,9 @@ class FrameInputs:
     blend_rot: jax.Array  # (Nv, 3, 3) rotation blocks of target blend matrices
     Rh: jax.Array  # (3, 3) target world->smpl rotation
     Th: jax.Array  # (3,) target world->smpl translation
+    depth_maps: Optional[jax.Array] = None  # (V, Hd, Wd) per-view depth
+    # (cfg.depth_map + depth_vizmap mode: visibility computed on device
+    # from these instead of the rasterized vizmaps)
 
 
 @struct.dataclass
@@ -75,9 +78,10 @@ class Prologue:
     """Per-frame quantities shared by every ray chunk."""
 
     tokens: jax.Array  # (V, C, D) TransHE-refined cluster tokens
-    pixel_map: jax.Array  # (V, H, W, 384)
+    pixel_map: jax.Array  # (V, H, W, 384); int8 when quantized
     centers: jax.Array  # (C, 3) cluster centers, SMPL coords (target pose)
     rot: jax.Array  # (C, 3, 3) pooled blend rotations
+    pixel_scale: Optional[jax.Array] = None  # (384,) dequant scale (int8 mode)
 
 
 class RenderPipeline:
@@ -96,11 +100,15 @@ class RenderPipeline:
         pe_box: float = 1.5,
         pe_table: Optional[np.ndarray] = None,
         use_pallas: bool = False,
+        quantize_pixel_feat: bool = False,  # int8 pixel map: halves gather
+        # bytes but int8 (32,128) tiling makes the 2x2 slices SLOWER on v5e
+        # (58.6k vs 73.4k rays/s measured); kept for future hardware
     ):
         self.model = model
         self.n_samples = n_samples
         self.chunk_rays = chunk_rays
         self.use_pallas = use_pallas
+        self.quantize_pixel_feat = quantize_pixel_feat
         self.use_pallas_cull = False  # XLA's blocked scan is VPU-bound and on par
         self.cull_distance = cull_distance
         self.white_bkgd = white_bkgd
@@ -130,14 +138,27 @@ class RenderPipeline:
         uv, _ = project_points(frame.verts_world, frame.K, frame.R, frame.T)
         image_shape = frame.images.shape[1:3]
         latent = sample_feature_map(holder_map, uv, image_shape)  # (V, Nv, D)
-        holder = latent * frame.vizmaps[..., None].astype(latent.dtype)
+        vizmaps = frame.vizmaps
+        if frame.depth_maps is not None:
+            from ..ops.sampling import depth_visibility
+
+            vizmaps = depth_visibility(
+                frame.depth_maps, frame.verts_world, frame.K, frame.R, frame.T
+            )
+        holder = latent * vizmaps[..., None].astype(latent.dtype)
         tokens = jnp.einsum("cv,Vvd->Vcd", self.pool.astype(latent.dtype), holder)
         tokens = self.model.apply(
             params, tokens, self.pe_can, method="refine_tokens"
         )
         centers = self.pool @ frame.tar_verts_smpl  # (C, 3)
         rot = jnp.einsum("cv,vij->cij", self.pool, frame.blend_rot)
-        return Prologue(tokens=tokens, pixel_map=pixel_map, centers=centers, rot=rot)
+        pixel_scale = None
+        if self.quantize_pixel_feat:
+            from ..ops.sampling import quantize_feature_map
+
+            pixel_map, pixel_scale = quantize_feature_map(pixel_map)
+        return Prologue(tokens=tokens, pixel_map=pixel_map, centers=centers,
+                        rot=rot, pixel_scale=pixel_scale)
 
     def _cull(self, pts_smpl, verts_smpl):
         """SMPL-proximity mask (dist < cull_distance); fused Pallas kernel
@@ -185,6 +206,8 @@ class RenderPipeline:
             uv = jnp.where(pts_mask[None, :, None], uv, 0.0)
         image_shape = frame.images.shape[1:3]
         pixel_feat = sample_feature_map(pro.pixel_map, uv, image_shape)
+        if pro.pixel_scale is not None:
+            pixel_feat = pixel_feat * pro.pixel_scale.astype(pixel_feat.dtype)
 
         m = self.model
         from ..kernels.dparf import TILE, dparf_fused
