@@ -97,6 +97,10 @@ def main(argv=None, dataset=None, smpl=None):
 
     rng0 = jax.random.PRNGKey(cfg.seed)
     global_batch = n_dev * cfg.train.batch_size
+    # multi-host: every process derives the same permutation (seeded) and
+    # fetches only its contiguous slice of each global batch
+    proc, n_proc = jax.process_index(), jax.process_count()
+    local_batch = global_batch // n_proc
 
     for epoch in range(start_epoch, cfg.train.epoch):
         dataset.set_epoch(epoch)
@@ -113,6 +117,7 @@ def main(argv=None, dataset=None, smpl=None):
         t_end = time.time()
         for it in range(cfg.ep_iter):
             idx = perm[it * global_batch : (it + 1) * global_batch]
+            idx = idx[proc * local_batch : (proc + 1) * local_batch]
             samples = [dataset.get_train_sample(int(i)) for i in idx]
             batch = shard_batch(mesh, stack_samples(samples))
             recorder.data_time.update(time.time() - t_end)

@@ -31,9 +31,26 @@ def make_mesh(n_data: Optional[int] = None, devices=None) -> Mesh:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a batch pytree (leading axis = global batch) sharded over 'data'."""
+    """Place a batch pytree (leading axis = global batch) sharded over 'data'.
+
+    Single-host: `batch` holds the full global batch.  Multi-host: each
+    process passes only ITS slice (global batch is
+    `process_count * local_batch`, process i contributing rows
+    [i*local : (i+1)*local] — the layout `cli/train.py` produces via
+    `process_shard`), assembled with make_array_from_process_local_data.
+    """
     sharding = NamedSharding(mesh, P("data"))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    n_proc = jax.process_count()
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * n_proc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(mesh: Mesh, tree):
