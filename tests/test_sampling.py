@@ -100,3 +100,36 @@ def test_depth_visibility(rng):
     verts = np.array([[0, 0, 2.0], [0, 0, 5.0]], np.float32)
     vis = np.asarray(depth_visibility(depth, verts, K, R, T, det=0.07))
     np.testing.assert_array_equal(vis[0], [1.0, 0.0])
+
+
+def test_custom_vjp_matches_autodiff(rng):
+    """The sorted-segment-sum backward equals jax autodiff of the raw math."""
+    import jax
+    import jax.numpy as jnp
+    from transhuman_tpu.ops.sampling import _lerp, _sample_taps, sample_feature_map
+
+    v, h, w, c = 2, 9, 11, 4
+    feat = rng.standard_normal((v, h, w, c)).astype(np.float32)
+    uv = np.stack(
+        [rng.uniform(0, 21, (v, 40)), rng.uniform(0, 17, (v, 40))], -1
+    ).astype(np.float32)
+    g = rng.standard_normal((v, 40, c)).astype(np.float32)
+
+    def raw(feat, uv):
+        p, wx, wy, _, _ = _sample_taps(feat, uv, (18, 22))
+        return _lerp(p, wx, wy)
+
+    def loss_custom(f, u):
+        return jnp.sum(sample_feature_map(f, u, (18, 22)) * g)
+
+    def loss_raw(f, u):
+        return jnp.sum(raw(f, u) * g)
+
+    gf_c, gu_c = jax.grad(loss_custom, argnums=(0, 1))(
+        jnp.asarray(feat), jnp.asarray(uv)
+    )
+    gf_r, gu_r = jax.grad(loss_raw, argnums=(0, 1))(
+        jnp.asarray(feat), jnp.asarray(uv)
+    )
+    np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gu_c), np.asarray(gu_r), atol=1e-3)

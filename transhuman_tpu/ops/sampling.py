@@ -20,6 +20,8 @@ flattened H*W axis (4 taps), which XLA lowers to a single gather per tap.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -50,16 +52,9 @@ def project_points(xyz, K, R, T):
     return uv, cam[..., 2]
 
 
-def sample_feature_map(feat, uv, image_shape):
-    """Bilinear-sample per-view feature maps at pixel coordinates.
-
-    feat: (V, Hf, Wf, C) NHWC feature maps.
-    uv:   (V, N, 2) pixel coords in *original image* units, (x, y) order.
-    image_shape: (H_img, W_img) of the original image.
-
-    Returns (V, N, C).  Border clamp (= grid_sample padding_mode="border"),
-    align_corners=True semantics.
-    """
+def _sample_taps(feat, uv, image_shape):
+    """Shared forward machinery: returns (patches (V,N,2,2,C), wx, wy,
+    x0i, y0i)."""
     V, Hf, Wf, C = feat.shape
     H_img, W_img = image_shape
 
@@ -100,9 +95,107 @@ def sample_feature_map(feat, uv, image_shape):
         patches = patches.astype(jnp.bfloat16)
         wx = wx.astype(jnp.bfloat16)
         wy = wy.astype(jnp.bfloat16)
+    return patches, wx, wy, x0i, y0i
+
+
+def _lerp(patches, wx, wy):
     top = patches[:, :, 0, 0] * (1 - wx) + patches[:, :, 0, 1] * wx
     bot = patches[:, :, 1, 0] * (1 - wx) + patches[:, :, 1, 1] * wx
     return top * (1 - wy) + bot * wy
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def sample_feature_map(feat, uv, image_shape):
+    """Bilinear-sample per-view feature maps at pixel coordinates.
+
+    feat: (V, Hf, Wf, C) NHWC feature maps.
+    uv:   (V, N, 2) pixel coords in *original image* units, (x, y) order.
+    image_shape: (H_img, W_img) of the original image.
+
+    Returns (V, N, C).  Border clamp (= grid_sample padding_mode="border"),
+    align_corners=True semantics.
+
+    Custom VJP: XLA's native gather transpose is a random scatter-add that
+    serializes on TPU (measured ~2.3 s for a training step's 1.8M rows);
+    the backward here sorts the tap indices and uses a segment-sum
+    (indices_are_sorted) instead.
+    """
+    patches, wx, wy, _, _ = _sample_taps(feat, uv, image_shape)
+    return _lerp(patches, wx, wy)
+
+
+def _sfm_fwd(feat, uv, image_shape):
+    patches, wx, wy, x0i, y0i = _sample_taps(feat, uv, image_shape)
+    out = _lerp(patches, wx, wy)
+    V, Hf, Wf, C = feat.shape
+    H_img, W_img = image_shape
+    # border-clamped coordinates have zero positional gradient (clip's vjp)
+    fx = uv[..., 0] * (Wf / W_img)
+    fy = uv[..., 1] * (Hf / H_img)
+    in_x = (fx > 0.0) & (fx < Wf - 1)
+    in_y = (fy > 0.0) & (fy < Hf - 1)
+    return out, (patches, wx, wy, x0i, y0i, feat.shape, in_x, in_y,
+                 jnp.zeros((), feat.dtype), jnp.zeros((), uv.dtype))
+
+
+def _sfm_bwd(image_shape, res, g):
+    patches, wx, wy, x0i, y0i, fshape, in_x, in_y, fproto, uvproto = res
+    V, Hf, Wf, C = fshape
+    H_img, W_img = image_shape
+    gf = g.astype(jnp.float32)
+    wxf = wx.astype(jnp.float32)
+    wyf = wy.astype(jnp.float32)
+
+    # per-tap weights of the bilinear lerp
+    w00 = (1 - wxf) * (1 - wyf)
+    w01 = wxf * (1 - wyf)
+    w10 = (1 - wxf) * wyf
+    w11 = wxf * wyf
+
+    # d_feat: scatter-add 4 taps per point -> sort + sorted segment-sum
+    ids = jnp.stack(
+        [
+            y0i * Wf + x0i,
+            y0i * Wf + jnp.minimum(x0i + 1, Wf - 1),
+            jnp.minimum(y0i + 1, Hf - 1) * Wf + x0i,
+            jnp.minimum(y0i + 1, Hf - 1) * Wf + jnp.minimum(x0i + 1, Wf - 1),
+        ],
+        axis=1,
+    ).reshape(V, -1)  # (V, 4N)
+    vals = jnp.stack(
+        [gf * w00, gf * w01, gf * w10, gf * w11], axis=1
+    ).reshape(V, -1, C)  # (V, 4N, C)
+
+    def per_view(i, v):
+        order = jnp.argsort(i)
+        i_s = i[order]
+        v_s = jnp.take(v, order, axis=0)
+        return jax.ops.segment_sum(
+            v_s, i_s, num_segments=Hf * Wf, indices_are_sorted=True
+        )
+
+    d_feat = jax.vmap(per_view)(ids, vals).reshape(V, Hf, Wf, C)
+
+    # d_uv through the lerp weights (clip boundaries treated as interior;
+    # the clamped set has measure zero)
+    pf = patches.astype(jnp.float32)
+    d_fx = jnp.sum(
+        ((pf[:, :, 0, 1] - pf[:, :, 0, 0]) * (1 - wyf)
+         + (pf[:, :, 1, 1] - pf[:, :, 1, 0]) * wyf) * gf,
+        axis=-1,
+    )
+    d_fy = jnp.sum(
+        ((pf[:, :, 1, 0] - pf[:, :, 0, 0]) * (1 - wxf)
+         + (pf[:, :, 1, 1] - pf[:, :, 0, 1]) * wxf) * gf,
+        axis=-1,
+    )
+    d_uv = jnp.stack(
+        [d_fx * in_x * (Wf / W_img), d_fy * in_y * (Hf / H_img)], axis=-1
+    ).astype(uvproto.dtype)
+    return d_feat.astype(fproto.dtype), d_uv
+
+
+sample_feature_map.defvjp(_sfm_fwd, _sfm_bwd)
 
 
 def sample_half_pixel(feat, uv, image_shape):
