@@ -54,15 +54,17 @@ def main():
 
     render = jax.jit(lambda p, f, r: pipe.render_frame(p, f, r))
 
-    # warmup / compile
+    # warmup / compile; NOTE a scalar host readback per iteration — through
+    # the axon tunnel, block_until_ready alone does not reliably drain the
+    # dispatch queue, which silently overstates throughput
     out = render(params, frame, rays)
-    jax.block_until_ready(out)
+    float(jnp.sum(out["acc_map"]))
 
     n_iters = 5
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = render(params, frame, rays)
-    jax.block_until_ready(out)
+        float(jnp.sum(out["acc_map"]))
     dt = (time.perf_counter() - t0) / n_iters
 
     rays_per_sec = N_RAYS / dt
