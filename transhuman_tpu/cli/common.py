@@ -37,8 +37,11 @@ def parse_args(argv=None, need_type: bool = False):
         p.add_argument(
             "--type",
             default="evaluate",
-            choices=["evaluate", "visualize", "reconstruction"],
+            choices=["evaluate", "visualize", "reconstruction", "light_stage"],
         )
+        p.add_argument("--ply", default=None, help="light_stage: input .ply")
+        p.add_argument("--occupancy_out", default=None,
+                       help="light_stage: output .npy")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = p.parse_args(argv)
     cfg = Config.from_yaml(args.cfg_file, args.opts)

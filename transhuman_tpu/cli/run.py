@@ -109,6 +109,13 @@ def run_reconstruction(cfg, pipe, model, smpl, dataset=None):
 def main(argv=None, dataset=None, smpl=None):
     args, cfg = parse_args(argv, need_type=True)
     cfg = cfg.merge_dict({"run_mode": "test", "perturb": 0.0})
+    if args.type == "light_stage":
+        # reference run.py:160-162: ply -> occupancy volume conversion
+        from ..tools.voxelize_mesh import main as vox_main
+
+        vox_argv = [args.ply, args.occupancy_out or args.ply + ".occupancy.npy",
+                    "--voxel", str(cfg.voxel_size[0])]
+        return vox_main(vox_argv)
     from ..train.checkpoint import load_checkpoint
 
     ckpt = load_checkpoint(model_dir(cfg), cfg.test.epoch)

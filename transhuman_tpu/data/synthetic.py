@@ -19,7 +19,6 @@ from ..registry import DATASETS
 from ..render.pipeline import FrameInputs, RayBundle
 from ..testing import synthetic_setup
 from ..train.loss import TrainSample
-from .ray_sampling import EvalRays
 from .zju import EvalItem
 
 

@@ -3,8 +3,6 @@ lib/visualizers/if_nerf_mesh.py:25-35)."""
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 
 

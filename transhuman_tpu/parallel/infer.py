@@ -10,8 +10,6 @@ broadcast, keeping the step collective-free).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

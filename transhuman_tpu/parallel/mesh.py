@@ -15,7 +15,7 @@ shards per-process exactly like the reference's DistributedSampler, via
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

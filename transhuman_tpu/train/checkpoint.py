@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 import pickle
 import re
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

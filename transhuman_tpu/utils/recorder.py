@@ -15,7 +15,6 @@ import collections
 import datetime
 import json
 import os
-import time
 from typing import Dict, Optional
 
 import numpy as np
