@@ -1,0 +1,31 @@
+"""Train-step wall time at reference scale (1 sample/chip, 2400x64 rays)."""
+import time, jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from transhuman_tpu.testing import init_params, synthetic_rays, synthetic_setup
+from transhuman_tpu.train import TrainSample, make_optimizer, make_train_step
+from transhuman_tpu.train.step import init_state
+
+model, pipe, frame, _, cluster = synthetic_setup(
+    image_hw=(512,512), n_verts=6890, n_clusters=300, n_samples=64, dtype=jnp.bfloat16)
+params = init_params(model, frame, cluster.num_clusters, jax.random.PRNGKey(0))
+rays = synthetic_rays(2400)
+rng = np.random.default_rng(0)
+sample = TrainSample(frame=frame, rays=rays,
+    target_patches=rng.random((6,20,20,3)).astype(np.float32),
+    ray_pixel_idx=np.arange(2400, dtype=np.int32))
+batch = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[None]), sample)
+float(jnp.sum(batch.rays.ray_o))  # force-resident
+tx, _ = make_optimizer()
+step = make_train_step(pipe, tx, donate=False)
+state = init_state(params, tx)
+state, stats = step(state, batch, jax.random.PRNGKey(0))
+print("first loss", float(stats["loss"]), flush=True)
+times = []
+for i in range(10):
+    t0 = time.perf_counter()
+    state, stats = step(state, batch, jax.random.fold_in(jax.random.PRNGKey(1), i))
+    _ = float(stats["loss"])  # forced readback drains the queue
+    times.append(time.perf_counter() - t0)
+print("step times:", [round(t,3) for t in times], flush=True)
+print("median step:", np.median(times), flush=True)
