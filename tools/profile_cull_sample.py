@@ -9,9 +9,17 @@ N = 32768
 pts = jnp.asarray(rng.standard_normal((N,3)).astype(np.float32)*0.4)
 verts = jnp.asarray(rng.standard_normal((6890,3)).astype(np.float32)*0.4)
 chunks = jnp.tile(pts[None], (32,1,1))
+def _force(r):
+    # through the axon tunnel block_until_ready may not drain the dispatch
+    # queue; fetch one scalar to the host to force completion
+    import numpy as _np
+    leaf = jax.tree.leaves(r)[0]
+    return float(_np.asarray(leaf).ravel()[0])
+
+
 def t(f, *a, n=4):
-    r = jax.block_until_ready(f(*a)); t0=time.perf_counter()
-    for _ in range(n): r = jax.block_until_ready(f(*a))
+    _force(f(*a)); t0=time.perf_counter()
+    for _ in range(n): _force(f(*a))
     return (time.perf_counter()-t0)/n
 
 for rb in (2048, 1024, 512, 256, 128):

@@ -26,9 +26,17 @@ def jnp32(pts):
     return jax.lax.map(body, pts)
 
 chunks = jnp.broadcast_to(pts[None], (32, N, 3)).copy() if False else jnp.tile(pts[None], (32,1,1))
+def _force(r):
+    # through the axon tunnel block_until_ready may not drain the dispatch
+    # queue; fetch one scalar to the host to force completion
+    import numpy as _np
+    leaf = jax.tree.leaves(r)[0]
+    return float(_np.asarray(leaf).ravel()[0])
+
+
 def t(f, *a, n=4):
-    r = jax.block_until_ready(f(*a)); t0=time.perf_counter()
-    for _ in range(n): r = jax.block_until_ready(f(*a))
+    _force(f(*a)); t0=time.perf_counter()
+    for _ in range(n): _force(f(*a))
     return (time.perf_counter()-t0)/n
 print("fused x32:", t(fused32, chunks), flush=True)
 print("jnp   x32:", t(jnp32, chunks), flush=True)

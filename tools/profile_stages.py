@@ -30,11 +30,19 @@ pts, z = sample_along_rays(rays.ray_o, rays.ray_d, rays.near, rays.far, 64)
 chunks = pts.reshape(32, 32768, 3)  # 32 chunks
 
 
+def _force(r):
+    # through the axon tunnel block_until_ready may not drain the dispatch
+    # queue; fetch one scalar to the host to force completion
+    import numpy as _np
+    leaf = jax.tree.leaves(r)[0]
+    return float(_np.asarray(leaf).ravel()[0])
+
+
 def t(f, *a, n=4):
-    r = jax.block_until_ready(f(*a))
+    _force(f(*a))
     t0 = time.perf_counter()
     for _ in range(n):
-        r = jax.block_until_ready(f(*a))
+        _force(f(*a))
     return (time.perf_counter() - t0) / n
 
 
