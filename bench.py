@@ -1,17 +1,26 @@
-"""Benchmark: full-frame inference throughput (rays/sec/chip).
+"""Benchmark: full-frame inference throughput (rays/sec/chip) + train-step time.
 
-Mirrors the reference's eval workload (render_fast, if_clight_renderer.py:
-429-484): a 512x512 novel-view render — here 65,536 body-region rays x 64
-stratified samples through the full pipeline (3-view ResNet encode, SMPL
-painting, TransHE, chunked DPaRF/NeRF queries with SMPL-distance culling,
-alpha compositing).
+Inference mirrors the reference's eval workload (render_fast,
+if_clight_renderer.py:429-484): a 512x512 novel-view render — here 65,536
+body-region rays x 64 stratified samples through the full pipeline (3-view
+ResNet encode, SMPL painting, TransHE, chunked DPaRF/NeRF queries with
+SMPL-distance culling, alpha compositing).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Training mirrors the reference's per-iteration step (trainer.py:65-96 /
+if_nerf_clight.py:39-81): one sample/chip, 2400 rays x 64 samples, full
+forward+backward+Adam update, at the train config of record (BASELINE.md).
 
-vs_baseline: the reference publishes no throughput number (BASELINE.md);
-REFERENCE_RAYS_PER_SEC below is a pinned engineering estimate of the CUDA
-reference on one V100 (69k valid rays/frame at ~1.4 s/frame for the
-render_fast path). Replace with a measured number when one exists.
+Prints ONE JSON line. Primary fields {"metric","value","unit","vs_baseline"}
+are the render throughput (the driver's headline). Extra fields carry the
+train-step time and the baseline provenance:
+
+  vs_baseline: the reference publishes no throughput number (BASELINE.md);
+  the denominator is a pinned ENGINEERING ESTIMATE of the CUDA reference on
+  one V100 (69k valid rays/frame at ~1.4 s/frame for the render_fast path)
+  — labeled in the "baseline" field so the ratio is not mistaken for a
+  measured comparison. Same for the train-step estimate (~0.6 s/iter/V100
+  from the 8xV100 x 500 iters/epoch x 3000 epoch schedule at the reported
+  multi-day wall time; see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -21,13 +30,15 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # persistent compilation cache: first run pays the (slow, tunneled) XLA:TPU
 # compile; subsequent runs start in seconds
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-REFERENCE_RAYS_PER_SEC = 50_000.0
+REFERENCE_RAYS_PER_SEC = 50_000.0  # estimate — see module docstring
+REFERENCE_TRAIN_STEP_SEC = 0.6  # estimate — see module docstring
 
 N_RAYS = 65_536
 N_SAMPLES = 64
@@ -35,7 +46,7 @@ CHUNK_RAYS = 512  # 32768 points/chunk, the reference chunk size; fastest measur
 IMAGE_HW = (512, 512)
 
 
-def main():
+def bench_render():
     from transhuman_tpu.testing import init_params, synthetic_rays, synthetic_setup
 
     model, pipe, frame, _, cluster = synthetic_setup(
@@ -66,8 +77,51 @@ def main():
         out = render(params, frame, rays)
         float(jnp.sum(out["acc_map"]))
     dt = (time.perf_counter() - t0) / n_iters
+    return N_RAYS / dt
 
-    rays_per_sec = N_RAYS / dt
+
+def bench_train_step():
+    from transhuman_tpu.testing import init_params, synthetic_rays, synthetic_setup
+    from transhuman_tpu.train import TrainSample, make_optimizer, make_train_step
+    from transhuman_tpu.train.step import init_state
+
+    model, pipe, frame, _, cluster = synthetic_setup(
+        image_hw=IMAGE_HW,
+        n_verts=6890,
+        n_clusters=300,
+        n_samples=N_SAMPLES,
+        dtype=jnp.bfloat16,
+    )
+    params = init_params(model, frame, cluster.num_clusters, jax.random.PRNGKey(0))
+    rays = synthetic_rays(2400)
+    rng = np.random.default_rng(0)
+    sample = TrainSample(
+        frame=frame,
+        rays=rays,
+        target_patches=rng.random((6, 20, 20, 3)).astype(np.float32),
+        ray_pixel_idx=np.arange(2400, dtype=np.int32),
+    )
+    batch = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[None]), sample)
+    float(jnp.sum(batch.rays.ray_o))  # force-resident before timing
+
+    tx, _ = make_optimizer()
+    step = make_train_step(pipe, tx, donate=False)
+    state = init_state(params, tx)
+    state, stats = step(state, batch, jax.random.PRNGKey(0))  # compile
+    float(stats["loss"])
+
+    times = []
+    for i in range(10):
+        t0 = time.perf_counter()
+        state, stats = step(state, batch, jax.random.fold_in(jax.random.PRNGKey(1), i))
+        float(stats["loss"])  # forced readback drains the tunnel queue
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def main():
+    rays_per_sec = bench_render()
+    train_step_sec = bench_train_step()
     print(
         json.dumps(
             {
@@ -75,6 +129,10 @@ def main():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s/chip",
                 "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+                "baseline": f"estimate_{int(REFERENCE_RAYS_PER_SEC/1000)}k_rays_per_sec_1xV100",
+                "train_step_sec": round(train_step_sec, 4),
+                "train_vs_baseline": round(REFERENCE_TRAIN_STEP_SEC / train_step_sec, 3),
+                "train_baseline": "estimate_0.6s_per_iter_1xV100",
             }
         )
     )

@@ -40,7 +40,11 @@ def run_evaluate(cfg, pipe, model, smpl, dataset=None):
     if cfg.lpips_weights:
         from ..models.lpips import load_lpips_params, make_lpips_fn
 
-        lpips_fn = jax.jit(make_lpips_fn(load_lpips_params(cfg.lpips_weights)))
+        lpips_fn = jax.jit(
+            make_lpips_fn(
+                load_lpips_params(cfg.lpips_weights, backbone=cfg.lpips_backbone)
+            )
+        )
     ev = Evaluator(result_dir(cfg), lpips_fn=lpips_fn,
                    exp_name=cfg.exp_name, epoch=epoch)
     render_jit = jax.jit(pipe.render_frame)

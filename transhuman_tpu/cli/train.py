@@ -42,9 +42,15 @@ def main(argv=None, dataset=None, smpl=None):
 
     lpips_fn = None
     if cfg.lpips_weights:
-        lpips_fn = make_lpips_fn(load_lpips_params(cfg.lpips_weights))
+        lpips_fn = make_lpips_fn(
+            load_lpips_params(cfg.lpips_weights, backbone=cfg.lpips_backbone)
+        )
     else:
-        print("NOTE: cfg.lpips_weights empty -> perceptual loss disabled.")
+        print(
+            "WARNING: cfg.lpips_weights empty -> perceptual loss DISABLED; "
+            "the trained model will NOT match the reference loss landscape "
+            "(if_nerf_clight.py:65-72 adds 0.1*LPIPS)."
+        )
 
     tx, schedule = make_optimizer(
         lr=cfg.train.lr,

@@ -150,6 +150,7 @@ class Config:
     pretrained: bool = True
     encoder_weights: str = ""  # converted ResNet18 weights (.npz); '' = random init
     lpips_weights: str = ""  # converted LPIPS-VGG weights (.npz); '' = disable LPIPS
+    lpips_backbone: str = ""  # converted VGG16 backbone .npz when lpips_weights is lins-only
     xyz_res: int = 10
     view_res: int = 4
     raw_noise_std: float = 0.0

@@ -33,6 +33,7 @@ class Evaluator:
         self.exp_name = exp_name
         self.epoch = epoch
         self.mse, self.psnr, self.ssim, self.lpips = [], [], [], []
+        self.ssim_dr1 = []
 
     # ------------------------------------------------------------------
     def _reconstruct(self, rgb, mask_at_box, hw, white_bkgd=False):
@@ -70,6 +71,10 @@ class Evaluator:
         self.ssim.append(
             metrics.ssim(crop_pred, crop_gt, data_range=self.ssim_data_range)
         )
+        # also the strictly-correct [0,1]-image convention, to avoid metric
+        # confusion: the headline column keeps data_range=2.0 (the skimage
+        # float default the reference's published numbers use)
+        self.ssim_dr1.append(metrics.ssim(crop_pred, crop_gt, data_range=1.0))
         if self.lpips_fn is not None:
             lp = float(
                 np.asarray(
@@ -121,7 +126,15 @@ class Evaluator:
             "ssim": float(np.mean(self.ssim)) if self.ssim else None,
             "lpips": float(np.mean(self.lpips)) if self.lpips else None,
         }
+        # the missing-weights case must be loud in the summary, not a silent
+        # None that reads like "LPIPS = 0"
+        text = dict(out)
+        if self.lpips_fn is None and out["lpips"] is None:
+            text["lpips"] = "n/a (no VGG weights — set cfg.lpips_weights)"
+        if self.ssim_dr1:
+            text["ssim(data_range=1.0)"] = float(np.mean(self.ssim_dr1))
         with open(os.path.join(self.result_dir, "summary.txt"), "w") as f:
-            f.writelines(f"{k}: {v}\n" for k, v in out.items())
+            f.writelines(f"{k}: {v}\n" for k, v in text.items())
         self.mse, self.psnr, self.ssim, self.lpips = [], [], [], []
+        self.ssim_dr1 = []
         return out

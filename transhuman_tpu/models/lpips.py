@@ -90,7 +90,36 @@ def make_lpips_fn(params):
     return lambda x, y: lpips_distance(params, x, y)
 
 
-def load_lpips_params(path: str):
-    """Load a converted .npz weight file (tools/convert_lpips.py)."""
+def load_lpips_params(path: str, backbone: str = ""):
+    """Load a converted .npz weight file (tools/convert_lpips.py).
+
+    Accepts either a full file (13 VGG16 convs + 5 lin heads) or a lins-only
+    file (the reference vendors only the learned calibration heads at
+    third_parties/lpips/weights/v0.1/vgg.pth; the VGG16 backbone is the
+    standard torchvision IMAGENET1K pretrained `features` weights, which are
+    not redistributed here). For a lins-only file, pass `backbone` — a second
+    converted .npz containing the conv weights — and the two are merged.
+    A lins-only file without a backbone raises, loudly: LPIPS without the
+    pretrained backbone is meaningless.
+    """
     with np.load(path) as z:
-        return {k: jnp.asarray(z[k]) for k in z.files}
+        params = {k: jnp.asarray(z[k]) for k in z.files}
+    if backbone:
+        with np.load(backbone) as z:
+            params.update(
+                {k: jnp.asarray(z[k]) for k in z.files if k.startswith("conv")}
+            )
+    missing = [
+        f"conv{si}_{ci}_w"
+        for si, (n_convs, _) in enumerate(VGG16_STAGES)
+        for ci in range(n_convs)
+        if f"conv{si}_{ci}_w" not in params
+    ]
+    if missing:
+        raise ValueError(
+            f"LPIPS weights at {path!r} are lins-only ({len(missing)} conv "
+            "tensors missing). Convert the torchvision VGG16 IMAGENET1K "
+            "`features` state_dict with tools/convert_lpips.py and pass it "
+            "as `backbone=` (or cfg.lpips_backbone)."
+        )
+    return params
