@@ -131,3 +131,54 @@ def test_lr_schedule_shape():
     # monotone decreasing after warmup
     xs = [float(sched(e * 500)) for e in range(300, 3000, 270)]
     assert all(x >= y for x, y in zip(xs, xs[1:]))
+
+
+def test_masked_mse_matches_torch():
+    import torch
+
+    from transhuman_tpu.train.loss import masked_mse
+
+    rng = np.random.default_rng(3)
+    pred = rng.random((32, 3)).astype(np.float32)
+    tgt = rng.random((32, 3)).astype(np.float32)
+    mask = rng.random(32) > 0.3
+    got = float(masked_mse(jnp.asarray(pred), jnp.asarray(tgt), jnp.asarray(mask)))
+    # reference: img2mse(rgb_map[mask], rgb[mask]) (if_nerf_clight.py:77-81)
+    want = float(
+        torch.mean(
+            (torch.from_numpy(pred[mask]) - torch.from_numpy(tgt[mask])) ** 2
+        )
+    )
+    assert abs(got - want) < 1e-6
+
+
+def make_sample_nonpatch(seed):
+    s = make_sample(seed)
+    rng = np.random.default_rng(seed + 100)
+    mask = np.ones(NR, bool)
+    mask[-3:] = False  # exercise the masked padding path
+    return TrainSample(
+        frame=s.frame,
+        rays=s.rays.replace(mask=mask) if hasattr(s.rays, "replace")
+        else RayBundle(
+            ray_o=s.rays.ray_o, ray_d=s.rays.ray_d,
+            near=s.rays.near, far=s.rays.far, mask=mask,
+        ),
+        target_rgb=rng.random((NR, 3)).astype(np.float32),
+    )
+
+
+def test_step_nonpatch_mode(tiny):
+    pipe, params = tiny
+    tx, _ = make_optimizer(iters_per_epoch=2)
+    step = make_train_step(pipe, tx, donate=False, patch_mode=False)
+    state = init_state(params, tx)
+    batch = stack_samples([make_sample_nonpatch(0)])
+    new_state, stats = step(state, batch, jax.random.PRNGKey(0))
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(stats["loss"]))
+    assert np.isfinite(float(stats["img_loss"]))
+    diff = jax.tree.map(
+        lambda a, b: np.abs(np.asarray(a - b)).sum(), state.params, new_state.params
+    )
+    assert sum(jax.tree.leaves(diff)) > 0

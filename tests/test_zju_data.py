@@ -157,3 +157,60 @@ def test_loader_orders_and_prefetches(fake_zju):
     ds.set_epoch(0)
     out = list(Loader(lambda i: i * 10, range(7), num_workers=3))
     assert out == [0, 10, 20, 30, 40, 50, 60]
+
+
+def test_random_ray_sampler_contract(fake_zju):
+    """Non-patch train branch (sample_ray_h36m train mode,
+    if_nerf_data_utils.py:516-614): static n_rays output, body ratio,
+    rgb/near-far integrity, epoch-rng determinism."""
+    import copy
+
+    from transhuman_tpu.data.ray_sampling import sample_train_rays_random
+    from transhuman_tpu.geometry.rays import get_bound_2d_mask
+
+    cfg, smpl, info = fake_zju
+    ds = ZJUDataset(cfg, "train", smpl=smpl, human_info=info)
+    ds.set_epoch(0)
+    _, target, _ = ds._build_frame(0, np.random.default_rng(0), jitter=False)
+    img, msk, K, R, T, bounds = target
+
+    n_rays = 128
+    rr = sample_train_rays_random(
+        img, msk, K, R, T.reshape(3, 1), bounds,
+        np.random.default_rng(7), n_rays=n_rays, body_ratio=0.5,
+    )
+    assert rr.rays.ray_o.shape == (n_rays, 3)
+    assert rr.rgb.shape == (n_rays, 3)
+    assert rr.coord.shape == (n_rays, 2)
+    m = rr.rays.mask
+    assert m.all()  # real body in frame -> rejection loop fills completely
+    assert (rr.rays.far[m] > rr.rays.near[m]).all()
+    # rgb targets come from the image at the sampled pixels
+    np.testing.assert_array_equal(
+        rr.rgb, img[rr.coord[:, 0], rr.coord[:, 1]]
+    )
+    # all sampled pixels live inside the projected-AABB bound mask
+    pose = np.concatenate([R, T.reshape(3, 1)], axis=1)
+    bmask = get_bound_2d_mask(bounds, K, pose, img.shape[0], img.shape[1])
+    assert bmask[rr.coord[:, 0], rr.coord[:, 1]].all()
+    # roughly half the rays sit on the subject (body_sample_ratio=0.5; the
+    # uniform half also hits the subject sometimes, so >= 0.4 is safe)
+    on_body = (msk * bmask)[rr.coord[:, 0], rr.coord[:, 1]] == 1
+    assert on_body.mean() >= 0.4
+    # deterministic under the same rng stream
+    rr2 = sample_train_rays_random(
+        img, msk, K, R, T.reshape(3, 1), bounds,
+        np.random.default_rng(7), n_rays=n_rays, body_ratio=0.5,
+    )
+    np.testing.assert_array_equal(rr.coord, rr2.coord)
+
+    # dataset routing: use_patch_sampling=False fills target_rgb
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.patch.use_patch_sampling = False
+    cfg2.N_rand = 64
+    ds2 = ZJUDataset(cfg2, "train", smpl=smpl, human_info=info)
+    ds2.set_epoch(0)
+    s = ds2.get_train_sample(0)
+    assert s.target_patches is None and s.ray_pixel_idx is None
+    assert s.target_rgb.shape == (64, 3)
+    assert s.rays.ray_o.shape == (64, 3)

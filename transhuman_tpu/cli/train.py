@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data.loader import Loader
 from ..data.zju import ZJUDataset
 from ..models.lpips import load_lpips_params, make_lpips_fn
 from ..parallel import make_mesh, shard_batch
@@ -64,6 +65,7 @@ def main(argv=None, dataset=None, smpl=None):
     step_fn = make_train_step(
         pipe, tx, mesh=mesh, lpips_fn=lpips_fn,
         l2_weight=cfg.l2rec_weight, lpips_weight=cfg.lpips_weight,
+        patch_mode=cfg.patch.use_patch_sampling,
     )
 
     dataset = dataset or ZJUDataset(cfg, "train", smpl=smpl)
@@ -120,12 +122,26 @@ def main(argv=None, dataset=None, smpl=None):
              range(-(-need // len(dataset)))]
         )[:need]
 
-        t_end = time.time()
-        for it in range(cfg.ep_iter):
+        # host input pipeline: prefetch the next batches (cv2 decode/augment
+        # + device_put) on worker threads while the device runs the current
+        # step — the DataLoader(num_workers) role (make_dataset.py:83-89).
+        # get_train_sample is epoch+index-seeded, so worker order cannot
+        # change the data (determinism contract).
+        def fetch_batch(it):
             idx = perm[it * global_batch : (it + 1) * global_batch]
             idx = idx[proc * local_batch : (proc + 1) * local_batch]
             samples = [dataset.get_train_sample(int(i)) for i in idx]
-            batch = shard_batch(mesh, stack_samples(samples))
+            return shard_batch(mesh, stack_samples(samples))
+
+        batches = Loader(
+            fetch_batch,
+            range(cfg.ep_iter),
+            num_workers=max(2, cfg.train.num_workers + 1),
+            prefetch=2,
+        )
+
+        t_end = time.time()
+        for it, batch in enumerate(batches):
             recorder.data_time.update(time.time() - t_end)
 
             state, stats = step_fn(

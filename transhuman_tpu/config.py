@@ -46,7 +46,7 @@ def _parse_scalar(v: str) -> Any:
 class PatchConfig:
     """Patch-based ray sampling (reference `configs/train_or_eval.yaml:71-76`)."""
 
-    use_patch_sampling: bool = True
+    use_patch_sampling: bool = True  # False -> N_rand random-ray sampling + masked MSE
     sample_subject_ratio: float = 0.8
     N_patches: int = 6
     size: int = 20

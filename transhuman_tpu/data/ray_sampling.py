@@ -9,6 +9,10 @@ Train (patch mode, the default — configs/train_or_eval.yaml:71-76):
     (prob `subject_ratio`) on a random subject pixel, else on a random
     bbox-minus-subject pixel; all patch pixels intersecting the ray mask
     become rays.
+Train (non-patch, cfg.patch.use_patch_sampling=False):
+  * N_rand individual rays, body_sample_ratio of them from subject pixels,
+    the rest uniform over the bound mask, rejection-resampled until all
+    intersect the AABB (`sample_train_rays_random`).
 Eval:
   * every pixel whose ray intersects the (inflated) world AABB is a ray.
 
@@ -36,6 +40,13 @@ class TrainRays:
     patch_masks: np.ndarray  # (P, ps, ps) bool — ray-mask pixels per patch
     patch_masks_sub: np.ndarray  # (P, ps, ps) bool — subject pixels per patch
     sub_mask: np.ndarray  # (R,) bool — ray is on the subject (incl. border)
+
+
+@dataclass
+class RandomTrainRays:
+    rays: RayBundle  # R = n_rays, static (mask False on the rare padding)
+    rgb: np.ndarray  # (R, 3) ground-truth colors at the sampled pixels
+    coord: np.ndarray  # (R, 2) int32 (y, x) pixel coords
 
 
 @dataclass
@@ -139,6 +150,96 @@ def sample_train_rays(
         patch_masks=patch_masks,
         patch_masks_sub=patch_masks_sub,
         sub_mask=sub_mask,
+    )
+
+
+def sample_train_rays_random(
+    img,
+    msk,
+    K,
+    R,
+    T,
+    can_bounds,
+    rng: np.random.Generator,
+    n_rays: int = 1024,
+    body_ratio: float = 0.5,
+    face_ratio: float = 0.0,
+) -> RandomTrainRays:
+    """Non-patch train sampling (`sample_ray_h36m` train branch,
+    if_nerf_data_utils.py:516-614): per round, `body_ratio` of the still-
+    needed rays come from subject pixels (msk==1), `face_ratio` from face
+    pixels (msk==13), the rest uniformly from the projected-AABB bound mask
+    (border label 100 excluded); only rays that intersect the 3D AABB count,
+    and rounds repeat until exactly `n_rays` valid rays are collected — so
+    the output shape is STATIC, which is exactly what the jitted step wants.
+
+    Degenerate inputs (a bound mask that never intersects the AABB) can stall
+    the rejection loop; after a bounded number of rounds the tail is padded
+    with mask=False rays, which `masked_mse` drops.
+    """
+    H, W = img.shape[:2]
+    ray_o, ray_d = get_rays(H, W, K, R, T)
+    ray_o = ray_o.reshape(-1, 3)
+    ray_d = ray_d.reshape(-1, 3)
+    img_flat = img.reshape(-1, 3)
+
+    pose = np.concatenate([R, T.reshape(3, 1)], axis=1)
+    bound_mask = get_bound_2d_mask(can_bounds, K, pose, H, W)
+    msk_eff = msk * bound_mask
+    bound_mask = bound_mask.copy()
+    bound_mask[msk_eff == 100] = 0  # exclude the eroded-border label
+
+    body_pix = np.flatnonzero(msk_eff == 1)
+    face_pix = np.flatnonzero(msk_eff == 13)
+    rand_pix = np.flatnonzero(bound_mask == 1)
+
+    sel = np.zeros(n_rays, np.int64)
+    near_out = np.zeros(n_rays, np.float32)
+    far_out = np.full(n_rays, 1e-3, np.float32)
+    valid = np.zeros(n_rays, bool)
+    n = 0
+    for _ in range(64):
+        rem = n_rays - n
+        if rem <= 0:
+            break
+        n_body = int(rem * body_ratio)
+        n_face = int(rem * face_ratio)
+        n_rand = rem - n_body - n_face
+        parts = []
+        if body_pix.size:
+            parts.append(body_pix[rng.integers(0, body_pix.size, n_body)])
+        if face_pix.size and n_face:
+            parts.append(face_pix[rng.integers(0, face_pix.size, n_face)])
+        if rand_pix.size:
+            parts.append(rand_pix[rng.integers(0, rand_pix.size, n_rand)])
+        if not parts:
+            break
+        cand = np.concatenate(parts)
+        near_, far_, in_box = get_near_far(
+            can_bounds, ray_o[cand], ray_d[cand]
+        )
+        k = min(int(in_box.sum()), rem)
+        kept = cand[in_box][:k]
+        sel[n : n + k] = kept
+        near_out[n : n + k] = near_[:k]
+        far_out[n : n + k] = far_[:k]
+        valid[n : n + k] = True
+        n += k
+
+    rays = RayBundle(
+        ray_o=ray_o[sel].astype(np.float32),
+        ray_d=np.where(valid[:, None], ray_d[sel], [[0, 0, 1.0]]).astype(
+            np.float32
+        ),
+        near=near_out,
+        far=far_out,
+        mask=valid,
+    )
+    coord = np.stack([sel // W, sel % W], axis=1).astype(np.int32)
+    return RandomTrainRays(
+        rays=rays,
+        rgb=np.where(valid[:, None], img_flat[sel], 0.0).astype(np.float32),
+        coord=coord,
     )
 
 

@@ -35,7 +35,12 @@ from ..render.pipeline import FrameInputs
 from ..train.loss import TrainSample
 from . import catalog
 from .jitter import color_jitter
-from .ray_sampling import EvalRays, sample_eval_rays, sample_train_rays
+from .ray_sampling import (
+    EvalRays,
+    sample_eval_rays,
+    sample_train_rays,
+    sample_train_rays_random,
+)
 
 SPECIAL_HUMANS = ("CoreView_313", "CoreView_315")
 # 313/315 store 23 entries with cameras 19/20 missing from disk
@@ -364,6 +369,20 @@ class ZJUDataset:
             index, rng, jitter=self.cfg.jitter
         )
         tgt_img, tgt_msk, tK, tR, tT, can_bounds = target
+        if not self.cfg.patch.use_patch_sampling:
+            rr = sample_train_rays_random(
+                tgt_img,
+                tgt_msk,
+                tK,
+                tR,
+                tT.reshape(3, 1),
+                can_bounds,
+                rng,
+                n_rays=self.cfg.N_rand,
+                body_ratio=self.cfg.body_sample_ratio,
+                face_ratio=self.cfg.face_sample_ratio,
+            )
+            return TrainSample(frame=frame, rays=rr.rays, target_rgb=rr.rgb)
         tr = sample_train_rays(
             tgt_img,
             tgt_msk,

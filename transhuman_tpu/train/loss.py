@@ -25,12 +25,17 @@ from ..render.pipeline import FrameInputs, RayBundle
 
 @struct.dataclass
 class TrainSample:
-    """One training example (unbatched; train step vmaps a leading axis)."""
+    """One training example (unbatched; train step vmaps a leading axis).
+
+    Patch mode fills `target_patches`/`ray_pixel_idx`; non-patch mode
+    (cfg.patch.use_patch_sampling=False) fills `target_rgb` instead and the
+    loss is `masked_mse` over the valid rays (if_nerf_clight.py:77-81)."""
 
     frame: FrameInputs
     rays: RayBundle
-    target_patches: jax.Array  # (P, ps, ps, 3)
-    ray_pixel_idx: jax.Array  # (R,) int32 into P*ps*ps; -1 for invalid rays
+    target_patches: Optional[jax.Array] = None  # (P, ps, ps, 3)
+    ray_pixel_idx: Optional[jax.Array] = None  # (R,) int32 into P*ps*ps; -1 invalid
+    target_rgb: Optional[jax.Array] = None  # (R, 3) non-patch ray targets
 
 
 def unpack_patches(pred_rgb, ray_pixel_idx, patch_shape):
@@ -67,3 +72,13 @@ def masked_mse(pred_rgb, target_rgb, mask):
     m = mask[:, None].astype(pred_rgb.dtype)
     denom = jnp.maximum(jnp.sum(m) * 3.0, 1.0)
     return jnp.sum(jnp.square((pred_rgb - target_rgb) * m)) / denom
+
+
+def random_ray_losses(pred_rgb, sample: TrainSample, l2_weight: float = 1.0):
+    """Non-patch training loss (if_nerf_clight.py:77-81): masked MSE over
+    the sampled rays; no perceptual term in this mode (the reference only
+    applies LPIPS to patches). Stats key matches the reference ('img_loss')."""
+    img_loss = l2_weight * masked_mse(
+        pred_rgb, sample.target_rgb, sample.rays.mask
+    )
+    return img_loss, {"img_loss": img_loss, "loss": img_loss}

@@ -23,7 +23,7 @@ from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from .loss import TrainSample, patch_losses
+from .loss import TrainSample, patch_losses, random_ray_losses
 from .schedule import warmup_cosine_epoch_schedule
 
 
@@ -73,16 +73,21 @@ def make_train_step(
     l2_weight: float = 1.0,
     lpips_weight: float = 0.1,
     donate: bool = True,
+    patch_mode: bool = True,
 ):
     """Build the jitted train step.
 
     Signature of the returned fn: (state, batch, rng) -> (state, stats)
     where `batch` is a TrainSample pytree with a leading global-batch axis
     (divisible by the mesh 'data' size) and rng is a scalar PRNG key.
+    `patch_mode=False` selects the non-patch masked-MSE loss
+    (cfg.patch.use_patch_sampling=False; if_nerf_clight.py:77-81).
     """
 
     def sample_loss(params, sample: TrainSample, rng):
         out = pipe.render_train(params, sample.frame, sample.rays, rng)
+        if not patch_mode:
+            return random_ray_losses(out["rgb_map"], sample, l2_weight)
         return patch_losses(
             out["rgb_map"], sample, lpips_fn, l2_weight, lpips_weight
         )
