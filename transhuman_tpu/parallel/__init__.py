@@ -1,4 +1,4 @@
 """Device mesh + sharding helpers (the ICI-collective analog of the
 reference's NCCL/DDP layer, SURVEY.md §2.4)."""
 
-from .mesh import make_mesh, shard_batch  # noqa: F401
+from .mesh import make_mesh, process_shard, replicate, shard_batch  # noqa: F401
