@@ -1,0 +1,35 @@
+"""Golden-equality test for the freeview camera path.
+
+The fixture was produced by the op-order-faithful transcription of the
+reference's `render_utils.gen_path_virt` (render_utils.py:318-364); the
+vectorized repo-idiom implementation must reproduce it to float64 precision
+(the path feeds freeview-video parity end to end).
+"""
+
+from pathlib import Path
+
+import numpy as np
+
+from transhuman_tpu.geometry.cameras import gen_path_virt
+
+GOLDEN = Path(__file__).parent / "golden" / "gen_path_virt.npz"
+
+
+def test_gen_path_virt_matches_golden():
+    z = np.load(GOLDEN)
+    out = np.array(gen_path_virt(z["RT"], 8))
+    np.testing.assert_allclose(out, z["out"], rtol=0, atol=1e-10)
+
+
+def test_gen_path_virt_with_center_matches_golden():
+    z = np.load(GOLDEN)
+    out = np.array(gen_path_virt(z["RT"], 5, center=np.array([0.1, -0.2, 1.0])))
+    np.testing.assert_allclose(out, z["out_c"], rtol=0, atol=1e-10)
+
+
+def test_w2c_is_rigid():
+    z = np.load(GOLDEN)
+    for m in gen_path_virt(z["RT"], 4):
+        r = m[:3, :3]
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-12)
+        np.testing.assert_allclose(m[3], [0, 0, 0, 1], atol=0)

@@ -24,16 +24,8 @@ def _normalize(x):
     return x / np.linalg.norm(x)
 
 
-def _viewmatrix(z, up, pos):
-    """Build a c2w 3x4 from forward z, up hint, position (render_utils.py)."""
-    vec2 = _normalize(z)
-    vec0 = _normalize(np.cross(up, vec2))
-    vec1 = _normalize(np.cross(vec2, vec0))
-    return np.stack([vec0, vec1, vec2, pos], 1)
-
-
-def _ptstocam(pts, c2w):
-    return np.matmul(c2w[:3, :3].T, (pts - c2w[:3, 3])[..., np.newaxis])[..., 0]
+def _normalize_rows(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
 
 
 def load_cam(ann_file: str, ratio: float = 0.5):
@@ -54,39 +46,53 @@ def load_cam(ann_file: str, ratio: float = 0.5):
 
 
 def gen_path_virt(RT, render_views: int, center=None):
-    """360-degree spherical w2c path around the subject
-    (render_utils.gen_path_virt, render_utils.py:318-364)."""
-    lower_row = np.array([[0.0, 0.0, 0.0, 1.0]])
-    RT = np.array(RT, dtype=np.float64).copy()
-    RT[:] = np.linalg.inv(RT[:])
-    RT = np.concatenate(
-        [RT[:, :, 1:2], RT[:, :, 0:1], -RT[:, :, 2:3], RT[:, :, 3:4]], 2
+    """360-degree spherical w2c path around the subject.
+
+    Output-equal reimplementation of `render_utils.gen_path_virt`
+    (render_utils.py:318-364) — the path must match for freeview-video
+    parity (golden test: tests/golden/gen_path_virt.npz).  Geometry: from
+    the input w2c extrinsics, build an average "rig" frame whose first axis
+    is the mean camera up; place `render_views` cameras on an ellipse (radii
+    = 80th-percentile camera spread * 1.3) in that frame's Y/Z plane, each
+    looking at a pivot offset `z_off` along the rig's up axis; convert each
+    look-at c2w to OpenCV-convention w2c.
+    """
+    # c2w in "viewmatrix" column convention [down, right, -forward, pos]
+    c2w_in = np.linalg.inv(np.asarray(RT, dtype=np.float64))
+    cams = np.concatenate(
+        [c2w_in[:, :, 1:2], c2w_in[:, :, 0:1], -c2w_in[:, :, 2:3],
+         c2w_in[:, :, 3:4]], 2
     )
-    up = _normalize(RT[:, :3, 0].sum(0))
-    z = _normalize(RT[0, :3, 2])
-    vec1 = _normalize(np.cross(z, up))
+    up = _normalize(cams[:, :3, 0].sum(0))
+    z0 = _normalize(cams[0, :3, 2])
+    vec1 = _normalize(np.cross(z0, up))
     vec2 = _normalize(np.cross(up, vec1))
     z_off = 0.0
     if center is None:
-        center = RT[:, :3, 3].mean(0)
-        z_off = 1.3
-    c2w = np.stack([up, vec1, vec2, center], 1)
+        center = cams[:, :3, 3].mean(0)
+        z_off = 1.3  # pivot raised along `up` so the path looks slightly down
+    rig = np.stack([up, vec1, vec2, center], 1)  # (3, 4) rig frame
 
-    tt = _ptstocam(RT[:, :3, 3], c2w).T
-    rads = np.percentile(np.abs(tt), 80, -1) * 1.3
-    rads = np.array(list(rads) + [1.0])
+    # per-axis camera spread in the rig frame -> ellipse radii
+    tt = (cams[:, :3, 3] - rig[:, 3]) @ rig[:3, :3]
+    rads = np.percentile(np.abs(tt), 80, axis=0) * 1.3
 
-    render_w2c = []
-    for theta in np.linspace(0.0, 2 * np.pi, render_views + 1)[:-1]:
-        cam_pos = np.array([0, np.sin(theta), np.cos(theta), 1] * rads)
-        cam_pos_world = np.dot(c2w[:3, :4], cam_pos)
-        z = _normalize(
-            cam_pos_world - np.dot(c2w[:3, :4], np.array([z_off, 0, 0, 1.0]))
-        )
-        mat = _viewmatrix(z, up, cam_pos_world)
-        mat = np.concatenate(
-            [mat[:, 1:2], mat[:, 0:1], -mat[:, 2:3], mat[:, 3:4]], 1
-        )
-        mat = np.concatenate([mat, lower_row], 0)
-        render_w2c.append(np.linalg.inv(mat))
-    return render_w2c
+    theta = np.linspace(0.0, 2 * np.pi, render_views + 1)[:-1]
+    ring = np.stack(
+        [np.zeros_like(theta), np.sin(theta), np.cos(theta)], 1
+    ) * rads  # (views, 3) rig coords
+    pos = ring @ rig[:3, :3].T + rig[:, 3]  # (views, 3) world
+    pivot = rig[:, 3] + z_off * rig[:, 0]
+    fwd = _normalize_rows(pos - pivot)
+
+    # look-at basis per view (viewmatrix: right = up x fwd, new-up = fwd x right)
+    right = _normalize_rows(np.cross(up, fwd))
+    vup = _normalize_rows(np.cross(fwd, right))
+    # column shuffle [1,0,-2,3] of [right, vup, fwd, pos] -> OpenCV c2w:
+    # x = vup (image down), y = right, z = -fwd... then invert rigidly
+    rot_c2w = np.stack([vup, right, -fwd], 2)  # (views, 3, 3)
+    w2c = np.zeros((render_views, 4, 4))
+    w2c[:, :3, :3] = np.transpose(rot_c2w, (0, 2, 1))
+    w2c[:, :3, 3] = -np.einsum("vij,vj->vi", w2c[:, :3, :3], pos)
+    w2c[:, 3, 3] = 1.0
+    return list(w2c)
