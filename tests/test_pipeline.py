@@ -166,3 +166,28 @@ def test_quantized_pixel_features_close_to_fp(setup):
     a, b = np.asarray(base["rgb_map"]), np.asarray(quant["rgb_map"])
     assert np.abs(a - b).max() < 0.05
     assert np.abs(a - b).mean() < 0.01
+
+
+def test_compaction_matches_plain_render_frame(setup):
+    """Static-capacity compaction returns bit-comparable maps to the plain
+    chunked path (masked points produce raw=0 in both) and reports overflow
+    honestly when the capacity is too small."""
+    pipe, params, frame, rays = setup
+    base = pipe.render_frame(params, frame, rays)
+    c = RenderPipeline.__new__(RenderPipeline)
+    c.__dict__.update(pipe.__dict__)
+    c.compact_ratio = 0.9
+    out = c.render_frame(params, frame, rays)
+    assert int(out["overflow"][0]) == 0
+    for k in ("rgb_map", "acc_map", "depth_map"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(base[k]), atol=2e-5
+        )
+
+    # starve the capacity -> the overflow count must say so
+    tiny = RenderPipeline.__new__(RenderPipeline)
+    tiny.__dict__.update(pipe.__dict__)
+    tiny.compact_ratio = 0.01
+    tiny.cull_distance = 1e9  # everything active
+    over = tiny.render_frame(params, frame, rays)
+    assert int(over["overflow"][0]) > 0

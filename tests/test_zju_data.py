@@ -214,3 +214,33 @@ def test_random_ray_sampler_contract(fake_zju):
     assert s.target_patches is None and s.ray_pixel_idx is None
     assert s.target_rgb.shape == (64, 3)
     assert s.rays.ray_o.shape == (64, 3)
+
+
+def test_rot_ratio_aug_wiring(fake_zju):
+    """rot_ratio > 0 sets aug fields on train frames and keeps the invariant
+    to_smpl(frame, verts_world) == tar_verts_smpl (the aug'd canonical verts,
+    can_smpl.py:244 + if_clight_renderer.py:305-323)."""
+    import copy
+
+    from transhuman_tpu.render.pipeline import to_smpl
+
+    cfg, smpl, info = fake_zju
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.rot_ratio = 1.0
+    ds = ZJUDataset(cfg2, "train", smpl=smpl, human_info=info)
+    ds.set_epoch(0)
+    s = ds.get_train_sample(1)
+    assert s.frame.aug_rot is not None
+    assert s.frame.aug_rot.shape == (3, 3)
+    got = np.asarray(to_smpl(s.frame, s.frame.verts_world))
+    np.testing.assert_allclose(got, s.frame.tar_verts_smpl, atol=1e-5)
+    # the aug actually moved the canonical verts
+    plain = (s.frame.verts_world - s.frame.Th) @ s.frame.Rh
+    assert np.abs(plain - s.frame.tar_verts_smpl).max() > 1e-4
+
+    # default rot_ratio=0 and eval frames carry no aug fields
+    ds0 = ZJUDataset(cfg, "train", smpl=smpl, human_info=info)
+    ds0.set_epoch(0)
+    assert ds0.get_train_sample(1).frame.aug_rot is None
+    dse = ZJUDataset(cfg2, "test", smpl=smpl, human_info=info)
+    assert dse.get_eval_item(0).frame.aug_rot is None

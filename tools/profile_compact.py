@@ -1,0 +1,68 @@
+"""A/B: plain chunked render_frame vs static-capacity compaction (+two-stage
+cull) on the real chip at reference scale.  One process, forced readback per
+iteration (tunnel dispatch-queue honesty — see CLAUDE.md).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python -u tools/profile_compact.py [plain compact50 ...]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from transhuman_tpu.render.pipeline import RenderPipeline  # noqa: E402
+from transhuman_tpu.testing import (  # noqa: E402
+    init_params,
+    synthetic_rays,
+    synthetic_setup,
+)
+
+N_RAYS, N_SAMPLES, CHUNK = 16384, 64, 512
+variants = sys.argv[1:] or ["plain", "compact50", "compact375", "compact25"]
+
+model, pipe, frame, _, cluster = synthetic_setup(
+    image_hw=(512, 512), n_verts=6890, n_clusters=300,
+    n_samples=N_SAMPLES, chunk_rays=CHUNK, dtype=jnp.bfloat16,
+)
+params = init_params(model, frame, cluster.num_clusters, jax.random.PRNGKey(0))
+rays = synthetic_rays(N_RAYS)
+frame = jax.tree.map(jnp.asarray, frame)
+rays = jax.tree.map(jnp.asarray, rays)
+
+
+def t(f, *a, n=5):
+    out = f(*a)
+    float(jnp.sum(out["acc_map"]))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(*a)
+        float(jnp.sum(out["acc_map"]))
+    return (time.perf_counter() - t0) / n, out
+
+
+def clone(ratio):
+    p = RenderPipeline.__new__(RenderPipeline)
+    p.__dict__.update(pipe.__dict__)
+    p.compact_ratio = ratio
+    return p
+
+
+RATIOS = {"compact50": 0.5, "compact375": 0.375, "compact25": 0.25}
+
+if "plain" in variants:
+    dt, out = t(jax.jit(pipe.render_frame), params, frame, rays)
+    print(f"plain      {dt*1e3:8.1f} ms  {N_RAYS/dt:9,.0f} rays/s", flush=True)
+
+for name in variants:
+    if name not in RATIOS:
+        continue
+    c = clone(RATIOS[name])
+    dt, out = t(jax.jit(c.render_frame), params, frame, rays)
+    print(
+        f"{name:10s} {dt*1e3:8.1f} ms  {N_RAYS/dt:9,.0f} rays/s  "
+        f"overflow={int(out['overflow'][0])}",
+        flush=True,
+    )

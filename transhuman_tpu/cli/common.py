@@ -90,6 +90,7 @@ def build_runtime(
         raw_noise_std=cfg.raw_noise_std,
         pe_table=pe_table,
         use_pallas=cfg.use_pallas_knn,
+        compact_ratio=cfg.compact_ratio,
     )
     return model, pipe, smpl, cluster
 

@@ -30,6 +30,10 @@ def _render_bucketed(pipe, render_jit, params, frame, eval_rays, bucket):
     out = render_jit(params, jax.tree.map(jnp.asarray, frame),
                      jax.tree.map(jnp.asarray, rays))
     n = eval_rays.rays.ray_o.shape[0]
+    over = int(np.sum(np.asarray(out.pop("overflow", 0))))
+    if over:
+        print(f"WARNING: compaction capacity clipped {over} active points "
+              "(rgb holes) — raise cfg.compact_ratio")
     return {k: np.asarray(v)[:n] for k, v in out.items()}
 
 

@@ -170,6 +170,11 @@ class Config:
     pad_bucket: int = 8192  # ray-count padding granularity for static shapes
     use_pallas_knn: bool = False  # fused Pallas DPaRF kernel (kernels/dparf.py;
     # measured slower than the XLA composition on v5e — see its docstring)
+    compact_ratio: Optional[float] = 0.5  # static-capacity compaction: decode
+    # only culled-survivor points packed into ratio*N slots (the reference's
+    # dynamic pts[mask] indexing, cross_transformer.py:229-242, as a static
+    # TPU program).  None disables; typical active fraction is ~20%, so 0.5
+    # leaves 2.5x headroom (renders report clipping via the overflow count)
     mesh_axis_data: int = 1  # data-parallel mesh size (1 = single chip)
     mesh_axis_rays: int = 1  # ray/sequence-parallel mesh size for inference
 

@@ -274,7 +274,7 @@ class ZJUDataset:
         frame_index = int(frame_file[:-4])
         return path, human, frame_file, frame_index
 
-    def _build_frame(self, index, rng, jitter: bool) -> tuple:
+    def _build_frame(self, index, rng, jitter: bool, train: bool = False) -> tuple:
         """Shared input-view/SMPL assembly. Returns (frame_inputs, target
         stuff tuple, meta)."""
         path, human, frame_file, frame_index = self._frame_meta(index)
@@ -326,6 +326,19 @@ class ZJUDataset:
         verts_smpl = (verts_world - Th) @ Rh
         _, _, blend = self.smpl(params["poses"], np.asarray(params["shapes"]).reshape(-1))
 
+        # transform_can_smpl augmentation (can_smpl.py:244): training-only,
+        # identity draw with prob 1-rot_ratio.  Fields are set whenever
+        # rot_ratio > 0 (identity included) so the FrameInputs pytree
+        # structure never flips between steps.
+        aug = None
+        if train and self.cfg.rot_ratio > 0:
+            from .aug import transform_can_smpl
+
+            verts_smpl, a_center, a_rot, a_trans = transform_can_smpl(
+                verts_smpl, rng, self.cfg.rot_ratio
+            )
+            aug = dict(aug_center=a_center, aug_rot=a_rot, aug_trans=a_trans)
+
         frame = FrameInputs(
             images=np.stack(imgs),
             vizmaps=np.stack(viz),
@@ -342,6 +355,7 @@ class ZJUDataset:
                 if (self.cfg.depth_map and self.cfg.depth_vizmap and depths)
                 else None
             ),
+            **(aug or {}),
         )
 
         # world AABB, z-inflated (prepare_input, can_smpl.py:225-233)
@@ -366,7 +380,7 @@ class ZJUDataset:
     def get_train_sample(self, index) -> TrainSample:
         rng = np.random.default_rng(index + self.epoch * self.cfg.seed)
         frame, target, _ = self._build_frame(
-            index, rng, jitter=self.cfg.jitter
+            index, rng, jitter=self.cfg.jitter, train=True
         )
         tgt_img, tgt_msk, tK, tR, tT, can_bounds = target
         if not self.cfg.patch.use_patch_sampling:

@@ -62,6 +62,26 @@ class FrameInputs:
     depth_maps: Optional[jax.Array] = None  # (V, Hd, Wd) per-view depth
     # (cfg.depth_map + depth_vizmap mode: visibility computed on device
     # from these instead of the rasterized vizmaps)
+    # transform_can_smpl augmentation (data/aug.py; set on training frames
+    # iff cfg.rot_ratio > 0 — always all-three or none, so the pytree
+    # structure is stable per config and jit never recompiles mid-run)
+    aug_center: Optional[jax.Array] = None  # (3,)
+    aug_rot: Optional[jax.Array] = None  # (3, 3) xz rotation, y identity
+    aug_trans: Optional[jax.Array] = None  # (3,)
+
+
+def to_smpl(frame: FrameInputs, pts_world: jax.Array) -> jax.Array:
+    """World -> SMPL coordinates, plus the transform_can_smpl augmentation
+    when the frame carries one (the reference's transform_sampling_points,
+    if_clight_renderer.py:305-323: training-only; eval frames carry None)."""
+    pts = (pts_world - frame.Th) @ frame.Rh
+    if frame.aug_rot is not None:
+        pts = (
+            (pts - frame.aug_center) @ frame.aug_rot.T
+            + frame.aug_center
+            + frame.aug_trans
+        )
+    return pts
 
 
 @struct.dataclass
@@ -103,17 +123,34 @@ class RenderPipeline:
         quantize_pixel_feat: bool = False,  # int8 pixel map: halves gather
         # bytes but int8 (32,128) tiling makes the 2x2 slices SLOWER on v5e
         # (58.6k vs 73.4k rays/s measured); kept for future hardware
+        compact_ratio: Optional[float] = None,
     ):
         self.model = model
         self.n_samples = n_samples
         self.chunk_rays = chunk_rays
         self.use_pallas = use_pallas
         self.quantize_pixel_feat = quantize_pixel_feat
+        # static-capacity compaction: decode only the SMPL-culled survivors.
+        # The reference gets the same effect with dynamic boolean indexing
+        # (cross_transformer.py:229-242 runs the net on pts[mask] only); a
+        # TPU needs static shapes, so active points are compacted into a
+        # fixed capacity of compact_ratio * N slots (jnp.nonzero(size=...))
+        # and the raw outputs scattered back.  Masked points produce raw=0
+        # either way, so outputs are identical as long as the capacity holds
+        # (typical cull keeps ~20%; ratio 0.5 leaves 2.5x headroom — the
+        # returned "overflow" count says if it ever clips).
+        self.compact_ratio = compact_ratio
         self.use_pallas_cull = False  # XLA's blocked scan is VPU-bound and on par
         self.cull_distance = cull_distance
         self.white_bkgd = white_bkgd
         self.raw_noise_std = raw_noise_std
         self.pool = jnp.asarray(cluster.pool_matrix)  # (C, Nv)
+        # hard vert->cluster assignment (kmeans partition; pool rows are
+        # 1/|c| on members) — static, used by the compact path's cull
+        # prefilter to bound dist(point, body) from below via cluster radii
+        self.vert_cluster = jnp.asarray(
+            np.argmax(cluster.pool_matrix, axis=0), jnp.int32
+        )
         if pe_table is not None:
             # reference-op-exact TransHE PE table from the checkpoint
             # converter (see models/vit.py docstring on high-band parity)
@@ -196,7 +233,7 @@ class RenderPipeline:
 
         allow_pallas: use the fused DPaRF kernel (forward-only; the train
         path keeps the differentiable jnp composition)."""
-        pts_smpl = (pts_world - frame.Th) @ frame.Rh
+        pts_smpl = to_smpl(frame, pts_world)
         uv, _ = project_points(pts_world, frame.K, frame.R, frame.T)
         if pts_mask is not None:
             # SMPL-culled points produce raw=0 regardless (the reference
@@ -286,6 +323,8 @@ class RenderPipeline:
         cr = self.chunk_rays
         assert r % cr == 0, f"ray count {r} must be padded to a multiple of {cr}"
         n_chunks = r // cr
+        if self.compact_ratio is not None:
+            return self._render_frame_compact(params, frame, rays)
 
         pro = self.prologue(params, frame)
         viewdir = rays.ray_d / jnp.linalg.norm(rays.ray_d, axis=-1, keepdims=True)
@@ -298,7 +337,7 @@ class RenderPipeline:
         def chunk_body(chunk):
             c_pts, c_vde, c_rmask = chunk  # (cr,S,3), (cr,27), (cr,)
             flat_pts = c_pts.reshape(cr * s, 3)
-            pts_smpl = (flat_pts - frame.Th) @ frame.Rh
+            pts_smpl = to_smpl(frame, flat_pts)
             near_body = self._cull(pts_smpl, frame.tar_verts_smpl)
             mask = near_body & jnp.repeat(c_rmask, s)
             c_vde_b = jnp.broadcast_to(
@@ -328,6 +367,93 @@ class RenderPipeline:
         }
 
 
+    def _render_frame_compact(self, params, frame: FrameInputs, rays: RayBundle):
+        """render_frame with static-capacity compaction (see __init__): the
+        cull mask is computed for every sample point first, the survivors are
+        packed into capacity M = compact_ratio * R * S (rounded up to whole
+        decode chunks), only those run the gather/DPaRF/heads decode, and the
+        raw values scatter back.  Returns the render_frame maps plus
+        "overflow" — how many active points exceeded capacity (0 in any
+        healthy run; >0 means rgb holes, raise compact_ratio)."""
+        r = rays.ray_o.shape[0]
+        s = self.n_samples
+        n = r * s
+        cp = self.chunk_rays * s  # points per decode chunk
+        m = -(-int(self.compact_ratio * n) // cp) * cp
+
+        pro = self.prologue(params, frame)
+        viewdir = rays.ray_d / jnp.linalg.norm(rays.ray_d, axis=-1, keepdims=True)
+        vde = embed_viewdir(viewdir)  # (R, 27)
+        pts, z_vals = sample_along_rays(
+            rays.ray_o, rays.ray_d, rays.near, rays.far, s
+        )
+        flat = pts.reshape(n, 3)
+
+        # two-stage cull: a conservative prefilter against the C cluster
+        # centers + per-cluster bounding radii picks the compaction superset
+        # (dist(p, body) >= min_c(dist(p, center_c) - r_c), so nothing the
+        # exact cull keeps is lost); the exact 6890-vert min-dist then runs
+        # only inside the compacted decode chunks — ~2x fewer VPU min-ops
+        vd = jnp.linalg.norm(
+            frame.tar_verts_smpl - pro.centers[self.vert_cluster], axis=1
+        )
+        radii = (
+            jnp.zeros((pro.centers.shape[0],), vd.dtype)
+            .at[self.vert_cluster]
+            .max(vd)
+        )
+
+        def pre_body(c_pts):
+            from ..ops.knn import pairwise_dist2
+
+            d2 = pairwise_dist2(to_smpl(frame, c_pts), pro.centers)
+            d = jnp.sqrt(jnp.maximum(d2, 0.0))
+            return jnp.min(d - radii[None, :], axis=1) <= self.cull_distance
+
+        near_pre = jax.lax.map(pre_body, flat.reshape(-1, cp, 3)).reshape(n)
+        mask = near_pre & jnp.repeat(rays.mask, s)
+        n_active = jnp.sum(mask)
+
+        (idx,) = jnp.nonzero(mask, size=m, fill_value=n)  # ascending, pad=n
+        valid = idx < n
+        safe = jnp.minimum(idx, n - 1)
+        c_pts = flat[safe]
+        c_vde = vde[jnp.minimum(safe // s, r - 1)]
+
+        def chunk_body(chunk):
+            pts_c, vde_c, valid_c = chunk
+            exact = self._cull(to_smpl(frame, pts_c), frame.tar_verts_smpl)
+            raw = self.query_points(
+                params, frame, pro, pts_c, vde_c, valid_c & exact,
+                allow_pallas=True,
+            )
+            return raw.astype(jnp.float32)
+
+        raw_c = jax.lax.map(
+            chunk_body,
+            (
+                c_pts.reshape(-1, cp, 3),
+                c_vde.reshape(-1, cp, c_vde.shape[-1]),
+                valid.reshape(-1, cp),
+            ),
+        ).reshape(m, 4)
+        raw = (
+            jnp.zeros((n, 4), jnp.float32).at[idx].set(raw_c, mode="drop")
+        )
+
+        out = composite(
+            raw.reshape(r, s, 4), z_vals, rays.ray_d, self.white_bkgd
+        )
+        msk = rays.mask
+        return {
+            "rgb_map": out["rgb_map"] * msk[:, None],
+            "acc_map": out["acc_map"] * msk,
+            "depth_map": out["depth_map"] * msk,
+            # (1,) not scalar: the ray-sharded wrapper (parallel/infer.py)
+            # concatenates output leaves along axis 0 -> per-shard counts
+            "overflow": jnp.maximum(n_active - m, 0).reshape(1),
+        }
+
     # -- mesh path (density over a dense grid) --------------------------
     def render_sigma(self, params, frame: FrameInputs, pts_world, pts_mask):
         """Density for a flat padded point set (mesh reconstruction,
@@ -345,7 +471,7 @@ class RenderPipeline:
 
         def chunk_body(chunk):
             c_pts, c_mask = chunk
-            pts_smpl = (c_pts - frame.Th) @ frame.Rh
+            pts_smpl = to_smpl(frame, c_pts)
             near_body = self._cull(pts_smpl, frame.tar_verts_smpl)
             raw = self.query_points(
                 params, frame, pro, c_pts, vde, c_mask & near_body,

@@ -26,6 +26,7 @@ def synthetic_setup(
     dtype=None,
     axis_name=None,
     seed: int = 0,
+    compact_ratio=None,
 ):
     """Returns (model, pipe, frame, smpl, cluster)."""
     rng = np.random.default_rng(seed)
@@ -43,7 +44,8 @@ def synthetic_setup(
         axis_name=axis_name,
     )
     pipe = RenderPipeline(
-        model, cluster, smpl.v_template, n_samples=n_samples, chunk_rays=chunk_rays
+        model, cluster, smpl.v_template, n_samples=n_samples,
+        chunk_rays=chunk_rays, compact_ratio=compact_ratio,
     )
     verts, _, T = smpl(np.zeros(72), np.zeros(10))
     focal = 0.9 * max(h, w)
