@@ -44,6 +44,10 @@ N_RAYS = 65_536
 N_SAMPLES = 64
 CHUNK_RAYS = 512  # 32768 points/chunk, the reference chunk size; fastest measured
 IMAGE_HW = (512, 512)
+COMPACT_RATIO = 0.375  # static-capacity compaction (render/pipeline.py): the
+# cull-survivor superset measures <25% of samples on this workload; 0.375
+# leaves headroom and the overflow count (asserted 0 below) guarantees the
+# output is identical to the uncompacted path
 
 
 def bench_render():
@@ -56,6 +60,7 @@ def bench_render():
         n_samples=N_SAMPLES,
         chunk_rays=CHUNK_RAYS,
         dtype=jnp.bfloat16,
+        compact_ratio=COMPACT_RATIO,
     )
     params = init_params(model, frame, cluster.num_clusters, jax.random.PRNGKey(0))
     rays = synthetic_rays(N_RAYS)
@@ -70,6 +75,11 @@ def bench_render():
     # dispatch queue, which silently overstates throughput
     out = render(params, frame, rays)
     float(jnp.sum(out["acc_map"]))
+    overflow = int(np.asarray(out.get("overflow", [0]))[0])
+    assert overflow == 0, (
+        f"compaction capacity clipped {overflow} points — the number below "
+        "would not be an honest apples-to-apples render"
+    )
 
     n_iters = 5
     t0 = time.perf_counter()

@@ -191,3 +191,23 @@ def test_compaction_matches_plain_render_frame(setup):
     tiny.cull_distance = 1e9  # everything active
     over = tiny.render_frame(params, frame, rays)
     assert int(over["overflow"][0]) > 0
+
+
+def test_sigma_compaction_matches_plain(setup):
+    """render_sigma with compaction == plain path on a small grid."""
+    pipe, params, frame, _ = setup
+    cp = pipe.chunk_rays * pipe.n_samples
+    rng = np.random.default_rng(5)
+    n = 4 * cp
+    pts = jnp.asarray(
+        rng.uniform(-1.2, 1.2, (n, 3)).astype(np.float32)
+    )
+    mask = jnp.asarray(rng.random(n) < 0.9)
+    base, over0 = pipe.render_sigma(params, frame, pts, mask)
+    assert int(over0[0]) == 0
+    c = RenderPipeline.__new__(RenderPipeline)
+    c.__dict__.update(pipe.__dict__)
+    c.compact_ratio = 0.9
+    got, over = c.render_sigma(params, frame, pts, mask)
+    assert int(over[0]) == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=2e-5)

@@ -66,3 +66,17 @@ for name in variants:
         f"overflow={int(out['overflow'][0])}",
         flush=True,
     )
+
+# decode chunk-size sweep at a fixed ratio ("chunk1024", "chunk2048", ...)
+for name in variants:
+    if not name.startswith("chunk"):
+        continue
+    cr = int(name[5:])
+    c = clone(0.375)
+    c.chunk_rays = cr
+    dt, out = t(jax.jit(c.render_frame), params, frame, rays)
+    print(
+        f"r.375 cr={cr:<5d} {dt*1e3:8.1f} ms  {N_RAYS/dt:9,.0f} rays/s  "
+        f"overflow={int(out['overflow'][0])}",
+        flush=True,
+    )

@@ -47,11 +47,14 @@ def extract_mesh(
     flat_p = np.pad(flat, ((0, pad), (0, 0)))
     mask = np.concatenate([np.ones(flat.shape[0], bool), np.zeros(pad, bool)])
 
-    sigma = np.asarray(
-        pipe.render_sigma(
-            params, jax.tree.map(jnp.asarray, frame), jnp.asarray(flat_p), jnp.asarray(mask)
-        )
-    )[: flat.shape[0]].reshape(gx, gy, gz)
+    sigma_flat, overflow = pipe.render_sigma(
+        params, jax.tree.map(jnp.asarray, frame), jnp.asarray(flat_p), jnp.asarray(mask)
+    )
+    over = int(np.asarray(overflow)[0])
+    if over:
+        print(f"WARNING: compaction capacity clipped {over} active grid "
+              "points (mesh holes) — raise cfg.compact_ratio")
+    sigma = np.asarray(sigma_flat)[: flat.shape[0]].reshape(gx, gy, gz)
 
     cube = np.pad(sigma, pad_voxels, mode="constant")
     verts_idx, tris = marching_tetrahedra(cube, mesh_th)

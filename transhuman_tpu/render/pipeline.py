@@ -402,13 +402,15 @@ class RenderPipeline:
             .at[self.vert_cluster]
             .max(vd)
         )
+        # compare squared distances against (r_c + cull)^2 — identical
+        # superset, no elementwise sqrt over the (N, C) matrix
+        thresh2 = (radii + self.cull_distance) ** 2
 
         def pre_body(c_pts):
             from ..ops.knn import pairwise_dist2
 
             d2 = pairwise_dist2(to_smpl(frame, c_pts), pro.centers)
-            d = jnp.sqrt(jnp.maximum(d2, 0.0))
-            return jnp.min(d - radii[None, :], axis=1) <= self.cull_distance
+            return jnp.min(d2 - thresh2[None, :], axis=1) <= 0.0
 
         near_pre = jax.lax.map(pre_body, flat.reshape(-1, cp, 3)).reshape(n)
         mask = near_pre & jnp.repeat(rays.mask, s)
@@ -461,13 +463,63 @@ class RenderPipeline:
         zero (dummy) view-direction encoding — RGB is unused.
 
         pts_world: (N, 3) with N % (chunk_rays * n_samples) == 0;
-        pts_mask: (N,) bool (False for padding).  Returns sigma (N,).
+        pts_mask: (N,) bool (False for padding).
+        Returns (sigma (N,), overflow (1,) int) — overflow counts active
+        points clipped by compaction capacity (0 when compaction is off or
+        the capacity holds).
         """
         n = pts_world.shape[0]
         cp = self.chunk_rays * self.n_samples  # points per chunk
         assert n % cp == 0, f"{n} not a multiple of chunk {cp}"
         pro = self.prologue(params, frame)
         vde = jnp.zeros((cp, 27), pts_world.dtype)
+
+        if self.compact_ratio is not None:
+            # same static-capacity compaction as _render_frame_compact; the
+            # dense grid's active fraction (the 0.1 m shell around the body)
+            # is far below the ray workload's, so the margin is generous
+            m = -(-int(self.compact_ratio * n) // cp) * cp
+            vd = jnp.linalg.norm(
+                frame.tar_verts_smpl - pro.centers[self.vert_cluster], axis=1
+            )
+            radii = (
+                jnp.zeros((pro.centers.shape[0],), vd.dtype)
+                .at[self.vert_cluster]
+                .max(vd)
+            )
+            thresh2 = (radii + self.cull_distance) ** 2
+
+            def pre_body(c_pts):
+                from ..ops.knn import pairwise_dist2
+
+                d2 = pairwise_dist2(to_smpl(frame, c_pts), pro.centers)
+                return jnp.min(d2 - thresh2[None, :], axis=1) <= 0.0
+
+            near_pre = jax.lax.map(
+                pre_body, pts_world.reshape(-1, cp, 3)
+            ).reshape(n)
+            mask = near_pre & pts_mask
+            n_active = jnp.sum(mask)
+            (idx,) = jnp.nonzero(mask, size=m, fill_value=n)
+            valid = idx < n
+            safe = jnp.minimum(idx, n - 1)
+            c_pts_all = pts_world[safe]
+
+            def chunk_body(chunk):
+                c_pts, c_valid = chunk
+                exact = self._cull(to_smpl(frame, c_pts), frame.tar_verts_smpl)
+                raw = self.query_points(
+                    params, frame, pro, c_pts, vde, c_valid & exact,
+                    allow_pallas=True,
+                )
+                return raw[:, 3].astype(jnp.float32)
+
+            sig_c = jax.lax.map(
+                chunk_body,
+                (c_pts_all.reshape(-1, cp, 3), valid.reshape(-1, cp)),
+            ).reshape(m)
+            sigma = jnp.zeros((n,), jnp.float32).at[idx].set(sig_c, mode="drop")
+            return sigma, jnp.maximum(n_active - m, 0).reshape(1)
 
         def chunk_body(chunk):
             c_pts, c_mask = chunk
@@ -483,7 +535,8 @@ class RenderPipeline:
             pts_world.reshape(-1, cp, 3),
             pts_mask.reshape(-1, cp),
         )
-        return jax.lax.map(chunk_body, chunks).reshape(n)
+        sigma = jax.lax.map(chunk_body, chunks).reshape(n)
+        return sigma, jnp.zeros((1,), jnp.int32)
 
 
 def pad_rays(rays: RayBundle, multiple: int) -> RayBundle:
