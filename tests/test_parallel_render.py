@@ -30,3 +30,48 @@ def test_sharded_render_matches_single():
         np.testing.assert_allclose(
             np.asarray(out_sharded[k]), np.asarray(out_single[k]), atol=1e-5
         )
+
+
+def test_sharded_render_with_compaction_matches_single():
+    """Ray sharding composes with static-capacity compaction; overflow
+    comes back per-shard ((n_dev,) after the concat)."""
+    model, pipe, frame, _, cluster = synthetic_setup(
+        image_hw=(24, 24), n_verts=80, n_clusters=10, n_samples=4,
+        chunk_rays=4, embed_dim=12, vit_depth=1, vit_heads=2, knn_k=3,
+        compact_ratio=0.9,
+    )
+    params = init_params(model, frame, cluster.num_clusters, jax.random.PRNGKey(0))
+    frame = jax.tree.map(jnp.asarray, frame)
+    mesh = make_mesh(8)
+    render, pad_mult = make_sharded_render(pipe, mesh)
+
+    rays = pad_rays(synthetic_rays(40), pad_mult)
+    rays = jax.tree.map(jnp.asarray, rays)
+
+    out_sharded = render(params, frame, rays)
+    assert out_sharded["overflow"].shape == (8,)
+    assert int(np.asarray(out_sharded["overflow"]).sum()) == 0
+    out_single = jax.jit(pipe.render_frame)(params, frame, rays)
+    for k in ("rgb_map", "acc_map", "depth_map"):
+        np.testing.assert_allclose(
+            np.asarray(out_sharded[k]), np.asarray(out_single[k]), atol=1e-5
+        )
+
+
+def test_cli_make_render_uses_ray_mesh():
+    from transhuman_tpu.cli.run import _make_render
+    from transhuman_tpu.config import Config
+
+    model, pipe, frame, _, cluster = synthetic_setup(
+        image_hw=(24, 24), n_verts=80, n_clusters=10, n_samples=4,
+        chunk_rays=4, embed_dim=12, vit_depth=1, vit_heads=2, knn_k=3,
+    )
+    cfg = Config().merge_dict({"mesh_axis_rays": 8, "pad_bucket": 50})
+    render, bucket = _make_render(cfg, pipe)
+    assert bucket % (8 * pipe.chunk_rays) == 0 and bucket >= 50
+
+    params = init_params(model, frame, cluster.num_clusters, jax.random.PRNGKey(0))
+    rays = pad_rays(synthetic_rays(40), bucket)
+    out = render(params, jax.tree.map(jnp.asarray, frame),
+                 jax.tree.map(jnp.asarray, rays))
+    assert np.isfinite(np.asarray(out["rgb_map"])).all()

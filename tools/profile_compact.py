@@ -67,6 +67,63 @@ for name in variants:
         flush=True,
     )
 
+if "parts" in variants:
+    # component breakdown of the compact path at ratio 0.375
+    import jax.numpy as jnp
+    from transhuman_tpu.render.volume import composite, sample_along_rays
+    from transhuman_tpu.render.pipeline import to_smpl
+    from transhuman_tpu.ops.knn import pairwise_dist2
+
+    c = clone(0.375)
+
+    def tt(f, *a, n=5):
+        r = f(*a)
+        float(jnp.asarray(jax.tree.leaves(r)[0]).ravel()[0])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = f(*a)
+            float(jnp.asarray(jax.tree.leaves(r)[0]).ravel()[0])
+        return (time.perf_counter() - t0) / n
+
+    @jax.jit
+    def prologue_only(params, frame):
+        p = c.prologue(params, frame)
+        return p.tokens
+
+    print(f"prologue   {tt(prologue_only, params, frame)*1e3:8.1f} ms", flush=True)
+
+    cp = c.chunk_rays * c.n_samples
+
+    @jax.jit
+    def prefilter_compact(params, frame, rays):
+        pro = c.prologue(params, frame)
+        pts, z = sample_along_rays(rays.ray_o, rays.ray_d, rays.near, rays.far, c.n_samples)
+        n = pts.shape[0] * pts.shape[1]
+        flat = pts.reshape(n, 3)
+        vd = jnp.linalg.norm(frame.tar_verts_smpl - pro.centers[c.vert_cluster], axis=1)
+        radii = jnp.zeros((pro.centers.shape[0],), vd.dtype).at[c.vert_cluster].max(vd)
+        th2 = (radii + c.cull_distance) ** 2
+
+        def pre(cp_pts):
+            d2 = pairwise_dist2(to_smpl(frame, cp_pts), pro.centers)
+            return jnp.min(d2 - th2[None], axis=1) <= 0.0
+
+        mask = jax.lax.map(pre, flat.reshape(-1, cp, 3)).reshape(n)
+        m = -(-int(0.375 * n) // cp) * cp
+        (idx,) = jnp.nonzero(mask, size=m, fill_value=n)
+        return idx
+
+    print(f"pro+pre+cp {tt(prefilter_compact, params, frame, rays)*1e3:8.1f} ms", flush=True)
+
+    @jax.jit
+    def sample_and_composite(rays):
+        pts, z = sample_along_rays(rays.ray_o, rays.ray_d, rays.near, rays.far, c.n_samples)
+        raw = jnp.zeros(pts.shape[:2] + (4,), jnp.float32)
+        out = composite(raw, z, rays.ray_d, False)
+        return out["rgb_map"]
+
+    print(f"smp+compos {tt(sample_and_composite, rays)*1e3:8.1f} ms", flush=True)
+
 # decode chunk-size sweep at a fixed ratio ("chunk1024", "chunk2048", ...)
 for name in variants:
     if not name.startswith("chunk"):

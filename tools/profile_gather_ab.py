@@ -14,6 +14,7 @@ cull, masked-uv -> texel 0 dedup semantics):
 Usage (real chip):
   PYTHONPATH=/root/repo:/root/.axon_site python -u tools/profile_gather_ab.py base quad pallas
 """
+import os
 import sys
 import time
 
@@ -26,8 +27,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from transhuman_tpu.ops.sampling import sample_feature_map  # noqa: E402
 
-V, H, W, C = 3, 512, 512, 384
-N = 1_048_576  # points per frame-equivalent (16384 rays x 64 samples)
+V, C = 3, 384
+H = W = int(os.environ.get("GAB_HW", 512))
+N = int(os.environ.get("GAB_N", 1_048_576))  # 16384 rays x 64 samples
 ACTIVE = 0.2
 
 variants = sys.argv[1:] or ["base", "quad", "pallas"]
@@ -173,6 +175,96 @@ def pallas_gather(quad, ids, w4, tile=512):
 
 
 
+# ---- scalar-prefetch slice gather ------------------------------------------
+# One grid step fetches G (2, 2, C) slices via G Element-indexed in_specs
+# whose index_maps read the prefetched (y, x) scalar ids — Pallas's pipeline
+# double-buffers the slice DMAs exactly like XLA's gather, but with G slices
+# in flight per step and the lerp fused in-kernel.
+G_SLICES = 8
+
+
+def _sp_kernel(ys_ref, xs_ref, w_ref, *refs):
+    slices = refs[:G_SLICES]
+    out_ref = refs[G_SLICES]
+    w = w_ref[:].astype(jnp.float32)  # (G, 4)
+    outs = []
+    for g in range(G_SLICES):
+        r = slices[g][:].astype(jnp.float32)  # (2, 2, C)
+        outs.append(
+            r[0, 0] * w[g, 0]
+            + r[0, 1] * w[g, 1]
+            + r[1, 0] * w[g, 2]
+            + r[1, 1] * w[g, 3]
+        )
+    out_ref[:] = jnp.stack(outs).astype(out_ref.dtype)
+
+
+def sprefetch_gather(pm3, ys, xs, w4):
+    """pm3 (V*H, W, C) bf16; ys/xs (M,) int32 slice starts (y in V*H units,
+    already v*H+y0); w4 (M, 4).  Returns (M, C) bf16 lerped taps."""
+    m = ys.shape[0]
+    grid = (m // G_SLICES,)
+    slice_spec = lambda g: pl.BlockSpec(
+        (pl.Element(2), pl.Element(2), C),
+        lambda i, ys, xs, g=g: (ys[i * G_SLICES + g], xs[i * G_SLICES + g], 0),
+    )
+    return pl.pallas_call(
+        _sp_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((G_SLICES, 4), lambda i, ys, xs: (i, 0)),
+            ]
+            + [slice_spec(g) for g in range(G_SLICES)],
+            out_specs=pl.BlockSpec((G_SLICES, C), lambda i, ys, xs: (i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, C), jnp.bfloat16),
+        interpret=jax.devices()[0].platform == "cpu",
+    )(ys, xs, w4, *([pm3] * G_SLICES))
+
+
+def run_sprefetch():
+    pm3 = pm.reshape(V * H, W, C)
+    fx = jnp.clip(uv[..., 0], 0.0, W - 1)
+    fy = jnp.clip(uv[..., 1], 0.0, H - 1)
+    x0 = jnp.minimum(jnp.floor(fx).astype(jnp.int32), W - 2)
+    y0 = jnp.minimum(jnp.floor(fy).astype(jnp.int32), H - 2)
+    wx, wy = fx - x0, fy - y0
+    w4 = jnp.stack(
+        [(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy], -1
+    )
+    ys = (jnp.arange(V, dtype=jnp.int32)[:, None] * H + y0).reshape(-1)
+    xs = x0.reshape(-1)
+    w4f = w4.reshape(-1, 4)
+
+    fn = jax.jit(
+        lambda pm3, ys, xs, w: sprefetch_gather(pm3, ys, xs, w)
+        .astype(jnp.float32)
+        .sum(axis=1)
+    )
+    try:
+        got = np.asarray(fn(pm3, ys, xs, w4f))
+        # reference: the existing sampler
+        ref = np.asarray(
+            jax.jit(
+                lambda pm, uv: sample_feature_map(pm, uv, (H, W))
+                .astype(jnp.float32)
+                .sum(axis=2)
+            )(pm, uv)
+        ).reshape(-1)
+        err = float(np.max(np.abs(got - ref)) / (np.abs(ref).max() + 1e-6))
+        print(
+            f"sprefetch G={G_SLICES}  {t(fn, pm3, ys, xs, w4f)*1e3:8.2f} ms  "
+            f"relerr={err:.2e}",
+            flush=True,
+        )
+    except Exception as e:
+        print(
+            f"sprefetch FAILED: {type(e).__name__}: {str(e)[:400]}", flush=True
+        )
+
+
 def main():
     need_quad = set(variants) & {"quad", "seq", "sorted", "pallas"}
     if need_quad:
@@ -217,6 +309,9 @@ def main():
             print(f"pallas t=512  {t(fn, quad, ids, w4)*1e3:8.2f} ms   relerr={err:.2e}", flush=True)
         except Exception as e:
             print(f"pallas t=512  FAILED: {type(e).__name__}: {str(e)[:400]}", flush=True)
+
+    if "sprefetch" in variants:
+        run_sprefetch()
 
     if "pallas_sweep" in variants:
         for tile in (256, 1024, 2048):

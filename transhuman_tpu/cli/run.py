@@ -25,6 +25,28 @@ from ..viz.video import frames_to_video
 from .common import build_runtime, model_dir, parse_args, result_dir
 
 
+def _make_render(cfg, pipe):
+    """(render_fn, ray bucket).  cfg.mesh_axis_rays > 1 shards the ray axis
+    over that many devices (parallel/infer.py); otherwise single-device jit."""
+    if cfg.mesh_axis_rays > 1:
+        from jax.sharding import Mesh
+
+        from ..parallel.infer import make_sharded_render
+
+        devs = jax.devices()
+        if len(devs) < cfg.mesh_axis_rays:
+            raise ValueError(
+                f"mesh_axis_rays={cfg.mesh_axis_rays} but only "
+                f"{len(devs)} devices are available"
+            )
+        render, pad_mult = make_sharded_render(
+            pipe, Mesh(np.array(devs[: cfg.mesh_axis_rays]), ("data",))
+        )
+        bucket = -(-max(cfg.pad_bucket, pad_mult) // pad_mult) * pad_mult
+        return render, bucket
+    return jax.jit(pipe.render_frame), max(cfg.pad_bucket, pipe.chunk_rays)
+
+
 def _render_bucketed(pipe, render_jit, params, frame, eval_rays, bucket):
     rays = pad_rays(eval_rays.rays, bucket)
     out = render_jit(params, jax.tree.map(jnp.asarray, frame),
@@ -51,8 +73,7 @@ def run_evaluate(cfg, pipe, model, smpl, dataset=None):
         )
     ev = Evaluator(result_dir(cfg), lpips_fn=lpips_fn,
                    exp_name=cfg.exp_name, epoch=epoch)
-    render_jit = jax.jit(pipe.render_frame)
-    bucket = max(cfg.pad_bucket, pipe.chunk_rays)
+    render_jit, bucket = _make_render(cfg, pipe)
 
     for i in dataset.frame_sampler_indices():
         item = dataset.get_eval_item(int(i))
@@ -77,8 +98,7 @@ def run_visualize(cfg, pipe, model, smpl, dataset=None):
     params, _ = load_params(model_dir(cfg), cfg.test.epoch)
     out_dir = os.path.join(result_dir(cfg), "perform")
     vis = PerformVisualizer(out_dir, white_bkgd=cfg.white_bkgd)
-    render_jit = jax.jit(pipe.render_frame)
-    bucket = max(cfg.pad_bucket, pipe.chunk_rays)
+    render_jit, bucket = _make_render(cfg, pipe)
 
     humans = set()
     for i in dataset.frame_sampler_indices(full_eval=True):
