@@ -182,3 +182,25 @@ def test_step_nonpatch_mode(tiny):
         lambda a, b: np.abs(np.asarray(a - b)).sum(), state.params, new_state.params
     )
     assert sum(jax.tree.leaves(diff)) > 0
+
+
+def test_perturb_zero_is_rng_independent(tiny):
+    """perturb=False (cfg.perturb=0) removes the stratified jitter: the loss
+    is identical under different rng keys; perturb=True is not
+    (if_clight_renderer.py:276 gate)."""
+    pipe, params = tiny
+    tx, _ = make_optimizer()
+    batch = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x)[None]), make_sample(3)
+    )
+
+    step0 = make_train_step(pipe, tx, donate=False, perturb=False)
+    s = init_state(params, tx)
+    _, a = step0(s, batch, jax.random.PRNGKey(0))
+    _, b = step0(s, batch, jax.random.PRNGKey(9))
+    assert float(a["loss"]) == float(b["loss"])
+
+    step1 = make_train_step(pipe, tx, donate=False, perturb=True)
+    _, c = step1(s, batch, jax.random.PRNGKey(0))
+    _, d = step1(s, batch, jax.random.PRNGKey(9))
+    assert float(c["loss"]) != float(d["loss"])

@@ -176,56 +176,75 @@ def pallas_gather(quad, ids, w4, tile=512):
 
 
 # ---- scalar-prefetch slice gather ------------------------------------------
-# One grid step fetches G (2, 2, C) slices via G Element-indexed in_specs
-# whose index_maps read the prefetched (y, x) scalar ids — Pallas's pipeline
-# double-buffers the slice DMAs exactly like XLA's gather, but with G slices
-# in flight per step and the lerp fused in-kernel.
+# The pixel map is flattened to 1-D; each point-view's 2x2xC slice is two
+# contiguous 2C-element row pairs (top: rows (y0, x0..x0+1); bottom: +W*C).
+# One grid step fetches G slices via 2G Element-indexed 1-D in_specs whose
+# index_maps read prefetched scalar offsets — Pallas's pipeline
+# double-buffers the DMAs like XLA's gather but with 2G in flight per step
+# and the bilinear lerp fused in-kernel.  (2C = 768 elements satisfies the
+# Mosaic 128-lane divisibility rule; a (2,2,C) 3-D block does not.)
+# Scalar-prefetch operands live in SMEM, so the M point-views are processed
+# in chunks of SP_CHUNK via an outer lax.map.
 G_SLICES = 8
+SP_CHUNK = int(os.environ.get("GAB_SPCHUNK", 32768))
 
 
-def _sp_kernel(ys_ref, xs_ref, w_ref, *refs):
-    slices = refs[:G_SLICES]
-    out_ref = refs[G_SLICES]
+def _sp_kernel(offs_ref, w_ref, *refs):
+    pairs = refs[: 2 * G_SLICES]
+    out_ref = refs[2 * G_SLICES]
     w = w_ref[:].astype(jnp.float32)  # (G, 4)
     outs = []
     for g in range(G_SLICES):
-        r = slices[g][:].astype(jnp.float32)  # (2, 2, C)
+        top = pairs[2 * g][:].reshape(2, C).astype(jnp.float32)
+        bot = pairs[2 * g + 1][:].reshape(2, C).astype(jnp.float32)
         outs.append(
-            r[0, 0] * w[g, 0]
-            + r[0, 1] * w[g, 1]
-            + r[1, 0] * w[g, 2]
-            + r[1, 1] * w[g, 3]
+            top[0] * w[g, 0] + top[1] * w[g, 1]
+            + bot[0] * w[g, 2] + bot[1] * w[g, 3]
         )
     out_ref[:] = jnp.stack(outs).astype(out_ref.dtype)
 
 
-def sprefetch_gather(pm3, ys, xs, w4):
-    """pm3 (V*H, W, C) bf16; ys/xs (M,) int32 slice starts (y in V*H units,
-    already v*H+y0); w4 (M, 4).  Returns (M, C) bf16 lerped taps."""
-    m = ys.shape[0]
-    grid = (m // G_SLICES,)
-    slice_spec = lambda g: pl.BlockSpec(
-        (pl.Element(2), pl.Element(2), C),
-        lambda i, ys, xs, g=g: (ys[i * G_SLICES + g], xs[i * G_SLICES + g], 0),
-    )
+def _sp_call(pm_flat, offs, w4):
+    """offs (K,) int32 element offsets of the top row pair; w4 (K, 4)."""
+    k = offs.shape[0]
+    grid = (k // G_SLICES,)
+    row = W * C
+
+    def pair_spec(g, extra):
+        return pl.BlockSpec(
+            (pl.Element(2 * C),),
+            lambda i, offs, g=g, extra=extra: (offs[i * G_SLICES + g] + extra,),
+        )
+
+    specs = []
+    for g in range(G_SLICES):
+        specs.append(pair_spec(g, 0))
+        specs.append(pair_spec(g, row))
     return pl.pallas_call(
         _sp_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((G_SLICES, 4), lambda i, ys, xs: (i, 0)),
-            ]
-            + [slice_spec(g) for g in range(G_SLICES)],
-            out_specs=pl.BlockSpec((G_SLICES, C), lambda i, ys, xs: (i, 0)),
+            in_specs=[pl.BlockSpec((G_SLICES, 4), lambda i, offs: (i, 0))]
+            + specs,
+            out_specs=pl.BlockSpec((G_SLICES, C), lambda i, offs: (i, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((m, C), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((k, C), jnp.bfloat16),
         interpret=jax.devices()[0].platform == "cpu",
-    )(ys, xs, w4, *([pm3] * G_SLICES))
+    )(offs, w4, *([pm_flat] * (2 * G_SLICES)))
+
+
+def sprefetch_gather(pm_flat, offs, w4):
+    def body(c):
+        return _sp_call(pm_flat, c[0], c[1])
+
+    return jax.lax.map(
+        body, (offs.reshape(-1, SP_CHUNK), w4.reshape(-1, SP_CHUNK, 4))
+    ).reshape(offs.shape[0], C)
 
 
 def run_sprefetch():
-    pm3 = pm.reshape(V * H, W, C)
+    pm_flat = pm.reshape(-1)
     fx = jnp.clip(uv[..., 0], 0.0, W - 1)
     fy = jnp.clip(uv[..., 1], 0.0, H - 1)
     x0 = jnp.minimum(jnp.floor(fx).astype(jnp.int32), W - 2)
@@ -234,17 +253,17 @@ def run_sprefetch():
     w4 = jnp.stack(
         [(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy], -1
     )
-    ys = (jnp.arange(V, dtype=jnp.int32)[:, None] * H + y0).reshape(-1)
-    xs = x0.reshape(-1)
+    voff = (jnp.arange(V, dtype=jnp.int32) * (H * W))[:, None]
+    offs = ((voff + y0 * W + x0) * C).reshape(-1)
     w4f = w4.reshape(-1, 4)
 
     fn = jax.jit(
-        lambda pm3, ys, xs, w: sprefetch_gather(pm3, ys, xs, w)
+        lambda pm_flat, offs, w: sprefetch_gather(pm_flat, offs, w)
         .astype(jnp.float32)
         .sum(axis=1)
     )
     try:
-        got = np.asarray(fn(pm3, ys, xs, w4f))
+        got = np.asarray(fn(pm_flat, offs, w4f))
         # reference: the existing sampler
         ref = np.asarray(
             jax.jit(
@@ -255,7 +274,7 @@ def run_sprefetch():
         ).reshape(-1)
         err = float(np.max(np.abs(got - ref)) / (np.abs(ref).max() + 1e-6))
         print(
-            f"sprefetch G={G_SLICES}  {t(fn, pm3, ys, xs, w4f)*1e3:8.2f} ms  "
+            f"sprefetch G={G_SLICES}  {t(fn, pm_flat, offs, w4f)*1e3:8.2f} ms  "
             f"relerr={err:.2e}",
             flush=True,
         )

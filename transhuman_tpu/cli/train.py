@@ -36,7 +36,7 @@ def main(argv=None, dataset=None, smpl=None):
     _, cfg = parse_args(argv)
     seed_everything(cfg.seed)
 
-    mesh = make_mesh()
+    mesh = make_mesh(cfg.mesh_axis_data or None)  # 0 = all devices
     n_dev = mesh.devices.size
     sync_bn = ("batch", "data")
     model, pipe, smpl, cluster = build_runtime(cfg, axis_name=sync_bn, smpl=smpl)
@@ -66,6 +66,7 @@ def main(argv=None, dataset=None, smpl=None):
         pipe, tx, mesh=mesh, lpips_fn=lpips_fn,
         l2_weight=cfg.l2rec_weight, lpips_weight=cfg.lpips_weight,
         patch_mode=cfg.patch.use_patch_sampling,
+        perturb=cfg.perturb > 0,
     )
 
     dataset = dataset or ZJUDataset(cfg, "train", smpl=smpl)

@@ -175,7 +175,8 @@ class Config:
     # dynamic pts[mask] indexing, cross_transformer.py:229-242, as a static
     # TPU program).  None disables; typical active fraction is ~20%, so 0.5
     # leaves 2.5x headroom (renders report clipping via the overflow count)
-    mesh_axis_data: int = 1  # data-parallel mesh size (1 = single chip)
+    mesh_axis_data: int = 0  # data-parallel mesh size for training (0 = all
+    # local devices, the reference's DDP-over-all-GPUs default)
     mesh_axis_rays: int = 1  # ray/sequence-parallel mesh size for inference
 
     # --- ray sampling ---

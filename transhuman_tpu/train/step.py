@@ -74,6 +74,7 @@ def make_train_step(
     lpips_weight: float = 0.1,
     donate: bool = True,
     patch_mode: bool = True,
+    perturb: bool = True,
 ):
     """Build the jitted train step.
 
@@ -82,10 +83,14 @@ def make_train_step(
     (divisible by the mesh 'data' size) and rng is a scalar PRNG key.
     `patch_mode=False` selects the non-patch masked-MSE loss
     (cfg.patch.use_patch_sampling=False; if_nerf_clight.py:77-81).
+    `perturb=False` disables the stratified-sampling jitter, the reference's
+    `cfg.perturb > 0 and self.net.training` gate (if_clight_renderer.py:276).
     """
 
     def sample_loss(params, sample: TrainSample, rng):
-        out = pipe.render_train(params, sample.frame, sample.rays, rng)
+        out = pipe.render_train(
+            params, sample.frame, sample.rays, rng if perturb else None
+        )
         if not patch_mode:
             return random_ray_losses(out["rgb_map"], sample, l2_weight)
         return patch_losses(
