@@ -29,3 +29,37 @@ for i in range(10):
     times.append(time.perf_counter() - t0)
 print("step times:", [round(t,3) for t in times], flush=True)
 print("median step:", np.median(times), flush=True)
+
+# --- breakdown variants (argv: fwd, nosamplegrad) ---------------------------
+import sys
+
+def _timeit(f, *a, n=8):
+    r = f(*a); float(jnp.asarray(jax.tree.leaves(r)[0]).ravel()[0])
+    ts = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        r = f(*a)
+        float(jnp.asarray(jax.tree.leaves(r)[0]).ravel()[0])
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+if "fwd" in sys.argv:
+    from transhuman_tpu.train.loss import patch_losses
+
+    @jax.jit
+    def fwd(params, s, rng):
+        out = pipe.render_train(params, s.frame, s.rays, rng)
+        l, _ = patch_losses(out["rgb_map"], s, None, 1.0, 0.1)
+        return l
+
+    print(f"fwd-only     {_timeit(fwd, state.params, sample, jax.random.PRNGKey(2))*1e3:8.1f} ms", flush=True)
+
+if "nosamplegrad" in sys.argv:
+    import transhuman_tpu.render.pipeline as P
+    from transhuman_tpu.ops.sampling import sample_feature_map as _orig
+
+    P.sample_feature_map = lambda *a, **k: jax.lax.stop_gradient(_orig(*a, **k))
+    step2 = make_train_step(pipe, tx, donate=False)
+    s2, st2 = step2(init_state(state.params, tx), batch, jax.random.PRNGKey(0))
+    print(f"stop-grad-sampling step {_timeit(lambda: step2(s2, batch, jax.random.PRNGKey(3)))*1e3:8.1f} ms", flush=True)
+    P.sample_feature_map = _orig

@@ -124,6 +124,7 @@ class RenderPipeline:
         # bytes but int8 (32,128) tiling makes the 2x2 slices SLOWER on v5e
         # (58.6k vs 73.4k rays/s measured); kept for future hardware
         compact_ratio: Optional[float] = None,
+        cull_clusters: int = 1024,
     ):
         self.model = model
         self.n_samples = n_samples
@@ -145,12 +146,17 @@ class RenderPipeline:
         self.white_bkgd = white_bkgd
         self.raw_noise_std = raw_noise_std
         self.pool = jnp.asarray(cluster.pool_matrix)  # (C, Nv)
-        # hard vert->cluster assignment (kmeans partition; pool rows are
-        # 1/|c| on members) — static, used by the compact path's cull
-        # prefilter to bound dist(point, body) from below via cluster radii
-        self.vert_cluster = jnp.asarray(
-            np.argmax(cluster.pool_matrix, axis=0), jnp.int32
+        # fine vertex partition for the compact path's cull prefilter: a
+        # separate (finer) kmeans over the canonical template than the 300
+        # TransHE clusters — tighter per-cluster radii shrink the prefilter
+        # superset toward the exact cull fraction (measured 17.8% -> the
+        # exact 15.1% governs), which directly shrinks the decode capacity
+        cc = min(cull_clusters, canonical_verts.shape[0])
+        cull_spec = ClusterSpec.from_kmeans(
+            np.asarray(canonical_verts, np.float32), cc, iters=8
         )
+        self.cull_assign = jnp.asarray(cull_spec.vert2cluster, jnp.int32)
+        self.cull_pool = jnp.asarray(cull_spec.pool_matrix)  # (Cc, Nv)
         if pe_table is not None:
             # reference-op-exact TransHE PE table from the checkpoint
             # converter (see models/vit.py docstring on high-band parity)
@@ -196,6 +202,27 @@ class RenderPipeline:
             pixel_map, pixel_scale = quantize_feature_map(pixel_map)
         return Prologue(tokens=tokens, pixel_map=pixel_map, centers=centers,
                         rot=rot, pixel_scale=pixel_scale)
+
+    def _prefilter_tables(self, frame: FrameInputs):
+        """(centers (Cc,3), thresh2 (Cc,)) for the conservative cull
+        prefilter: dist(p, body) <= cull requires some fine cluster c with
+        dist(p, center_c) <= cull + r_c (squared-compare, no sqrt)."""
+        centers = self.cull_pool @ frame.tar_verts_smpl
+        vd = jnp.linalg.norm(
+            frame.tar_verts_smpl - centers[self.cull_assign], axis=1
+        )
+        radii = (
+            jnp.zeros((centers.shape[0],), vd.dtype)
+            .at[self.cull_assign]
+            .max(vd)
+        )
+        return centers, (radii + self.cull_distance) ** 2
+
+    def _prefilter_chunk(self, frame, c_pts, centers, thresh2):
+        from ..ops.knn import pairwise_dist2
+
+        d2 = pairwise_dist2(to_smpl(frame, c_pts), centers)
+        return jnp.min(d2 - thresh2[None, :], axis=1) <= 0.0
 
     def _cull(self, pts_smpl, verts_smpl):
         """SMPL-proximity mask (dist < cull_distance); fused Pallas kernel
@@ -389,28 +416,14 @@ class RenderPipeline:
         )
         flat = pts.reshape(n, 3)
 
-        # two-stage cull: a conservative prefilter against the C cluster
-        # centers + per-cluster bounding radii picks the compaction superset
-        # (dist(p, body) >= min_c(dist(p, center_c) - r_c), so nothing the
-        # exact cull keeps is lost); the exact 6890-vert min-dist then runs
-        # only inside the compacted decode chunks — ~2x fewer VPU min-ops
-        vd = jnp.linalg.norm(
-            frame.tar_verts_smpl - pro.centers[self.vert_cluster], axis=1
-        )
-        radii = (
-            jnp.zeros((pro.centers.shape[0],), vd.dtype)
-            .at[self.vert_cluster]
-            .max(vd)
-        )
-        # compare squared distances against (r_c + cull)^2 — identical
-        # superset, no elementwise sqrt over the (N, C) matrix
-        thresh2 = (radii + self.cull_distance) ** 2
+        # two-stage cull: a conservative prefilter against the fine cull
+        # clusters + per-cluster bounding radii picks the compaction superset
+        # (nothing the exact cull keeps is lost); the exact 6890-vert
+        # min-dist then runs only inside the compacted decode chunks
+        centers_c, thresh2 = self._prefilter_tables(frame)
 
         def pre_body(c_pts):
-            from ..ops.knn import pairwise_dist2
-
-            d2 = pairwise_dist2(to_smpl(frame, c_pts), pro.centers)
-            return jnp.min(d2 - thresh2[None, :], axis=1) <= 0.0
+            return self._prefilter_chunk(frame, c_pts, centers_c, thresh2)
 
         near_pre = jax.lax.map(pre_body, flat.reshape(-1, cp, 3)).reshape(n)
         mask = near_pre & jnp.repeat(rays.mask, s)
@@ -479,21 +492,10 @@ class RenderPipeline:
             # dense grid's active fraction (the 0.1 m shell around the body)
             # is far below the ray workload's, so the margin is generous
             m = -(-int(self.compact_ratio * n) // cp) * cp
-            vd = jnp.linalg.norm(
-                frame.tar_verts_smpl - pro.centers[self.vert_cluster], axis=1
-            )
-            radii = (
-                jnp.zeros((pro.centers.shape[0],), vd.dtype)
-                .at[self.vert_cluster]
-                .max(vd)
-            )
-            thresh2 = (radii + self.cull_distance) ** 2
+            centers_c, thresh2 = self._prefilter_tables(frame)
 
             def pre_body(c_pts):
-                from ..ops.knn import pairwise_dist2
-
-                d2 = pairwise_dist2(to_smpl(frame, c_pts), pro.centers)
-                return jnp.min(d2 - thresh2[None, :], axis=1) <= 0.0
+                return self._prefilter_chunk(frame, c_pts, centers_c, thresh2)
 
             near_pre = jax.lax.map(
                 pre_body, pts_world.reshape(-1, cp, 3)
