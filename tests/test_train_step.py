@@ -204,3 +204,17 @@ def test_perturb_zero_is_rng_independent(tiny):
     _, c = step1(s, batch, jax.random.PRNGKey(0))
     _, d = step1(s, batch, jax.random.PRNGKey(9))
     assert float(c["loss"]) != float(d["loss"])
+
+
+def test_all_reference_optimizers_build_and_step():
+    """The reference factory's four options (optimizer.py:4-9) all make a
+    working transform."""
+    import optax
+
+    p = {"w": jnp.ones((3,))}
+    for name in ("adam", "radam", "sgd", "adamw"):
+        tx, _ = make_optimizer(optim=name, weight_decay=0.01 if name == "adamw" else 0.0)
+        st = tx.init(p)
+        up, _ = tx.update({"w": jnp.full((3,), 0.1)}, st, p)
+        q = optax.apply_updates(p, up)
+        assert np.isfinite(np.asarray(q["w"])).all()

@@ -52,6 +52,10 @@ def make_optimizer(
         core = optax.adamw(schedule, weight_decay=weight_decay)
     elif optim == "adam":
         core = optax.adam(schedule)
+    elif optim == "radam":
+        # reference factory option (lib/train/optimizer.py:4-9, vendored
+        # lib/utils/optimizer/radam.py); unused by shipped configs
+        core = optax.radam(schedule)
     elif optim == "sgd":
         core = optax.sgd(schedule, momentum=0.9)
     else:
