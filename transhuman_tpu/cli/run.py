@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data.loader import Loader
 from ..data.zju import ZJUDataset
 from ..evals.evaluator import Evaluator
 from ..mesh_ops.ply import save_ply
@@ -75,8 +76,12 @@ def run_evaluate(cfg, pipe, model, smpl, dataset=None):
                    exp_name=cfg.exp_name, epoch=epoch)
     render_jit, bucket = _make_render(cfg, pipe)
 
-    for i in dataset.frame_sampler_indices():
-        item = dataset.get_eval_item(int(i))
+    items = Loader(
+        lambda i: dataset.get_eval_item(int(i)),
+        dataset.frame_sampler_indices(),
+        prefetch=2,
+    )  # overlap host decode/undistort with the device render
+    for item in items:
         out = _render_bucketed(pipe, render_jit, params, item.frame,
                                item.eval_rays, bucket)
         hw = item.target_img.shape[:2]
@@ -101,8 +106,12 @@ def run_visualize(cfg, pipe, model, smpl, dataset=None):
     render_jit, bucket = _make_render(cfg, pipe)
 
     humans = set()
-    for i in dataset.frame_sampler_indices(full_eval=True):
-        item = dataset.get_perform_item(int(i), render_views=cfg.render_views)
+    items = Loader(
+        lambda i: dataset.get_perform_item(int(i), render_views=cfg.render_views),
+        dataset.frame_sampler_indices(full_eval=True),
+        prefetch=2,
+    )
+    for item in items:
         out = _render_bucketed(pipe, render_jit, params, item.frame,
                                item.eval_rays, bucket)
         hw = item.target_img.shape[:2]

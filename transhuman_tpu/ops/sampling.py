@@ -152,7 +152,13 @@ def _sfm_bwd(image_shape, res, g):
     w10 = (1 - wxf) * wyf
     w11 = wxf * wyf
 
-    # d_feat: scatter-add 4 taps per point -> sort + sorted segment-sum
+    # d_feat: scatter-add 4 taps per point -> sort + sorted segment-sum.
+    # Tap payloads are the SAME (N, C) cotangent row scaled per tap, so the
+    # sorted gather reads the small (N, C) buffer by point index (tap-major
+    # layout: tap j covers point j % N) and applies the scalar weight after
+    # — the naive form materialized and re-gathered a (4N, C) product
+    # (2.8 GB f32 at train scale), 4x more HBM traffic for the same result.
+    n = x0i.shape[1]
     ids = jnp.stack(
         [
             y0i * Wf + x0i,
@@ -161,20 +167,20 @@ def _sfm_bwd(image_shape, res, g):
             jnp.minimum(y0i + 1, Hf - 1) * Wf + jnp.minimum(x0i + 1, Wf - 1),
         ],
         axis=1,
-    ).reshape(V, -1)  # (V, 4N)
-    vals = jnp.stack(
-        [gf * w00, gf * w01, gf * w10, gf * w11], axis=1
-    ).reshape(V, -1, C)  # (V, 4N, C)
+    ).reshape(V, -1)  # (V, 4N) tap-major
+    w_all = jnp.concatenate([w00, w01, w10, w11], axis=1)  # (V, 4N, 1)
 
-    def per_view(i, v):
+    def per_view(i, g_rows, w_row):
         order = jnp.argsort(i)
-        i_s = i[order]
-        v_s = jnp.take(v, order, axis=0)
+        # gather in the cotangent's own (usually bf16) dtype and upcast
+        # AFTER — the cast is exact, the gather traffic halves
+        rows = jnp.take(g_rows, order % n, axis=0).astype(jnp.float32)
+        v_s = rows * jnp.take(w_row, order, axis=0)
         return jax.ops.segment_sum(
-            v_s, i_s, num_segments=Hf * Wf, indices_are_sorted=True
+            v_s, i[order], num_segments=Hf * Wf, indices_are_sorted=True
         )
 
-    d_feat = jax.vmap(per_view)(ids, vals).reshape(V, Hf, Wf, C)
+    d_feat = jax.vmap(per_view)(ids, g, w_all).reshape(V, Hf, Wf, C)
 
     # d_uv through the lerp weights (clip boundaries treated as interior;
     # the clamped set has measure zero)
