@@ -244,3 +244,17 @@ def test_rot_ratio_aug_wiring(fake_zju):
     assert ds0.get_train_sample(1).frame.aug_rot is None
     dse = ZJUDataset(cfg2, "test", smpl=smpl, human_info=info)
     assert dse.get_eval_item(0).frame.aug_rot is None
+
+
+def test_rasterize_false_gives_all_ones_vizmaps(fake_zju):
+    """cfg.rasterize=False skips precomputed visibility entirely
+    (if_clight_renderer.py:176-181: every vertex visible)."""
+    import copy
+
+    cfg, smpl, info = fake_zju
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.rasterize = False
+    ds = ZJUDataset(cfg2, "train", smpl=smpl, human_info=info)
+    ds.set_epoch(0)
+    s = ds.get_train_sample(0)
+    np.testing.assert_array_equal(s.frame.vizmaps, 1.0)

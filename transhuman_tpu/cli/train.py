@@ -71,8 +71,10 @@ def main(argv=None, dataset=None, smpl=None):
 
     dataset = dataset or ZJUDataset(cfg, "train", smpl=smpl)
     mdir = model_dir(cfg)
+    # cfg.use_record gates the metrics stream only (the reference's
+    # tensorboard writer gate, recorder.py:49); the console line always prints
     recorder = Recorder(cfg.record_dir, cfg.record_interval, cfg.log_interval,
-                        enabled=jax.process_index() == 0)
+                        enabled=jax.process_index() == 0 and cfg.use_record)
 
     # init / resume
     start_epoch = 0

@@ -247,6 +247,10 @@ class ZJUDataset:
         return d.astype(np.float32)
 
     def _vizmap(self, human, cam_id_1based, frame_str):
+        if not self.cfg.rasterize:
+            # cfg.rasterize=False skips the precomputed visibility entirely —
+            # every vertex visible in every view (if_clight_renderer.py:176-181)
+            return np.ones(self.smpl.v_template.shape[0], np.float32)
         p = os.path.join(
             self.rasterize_root,
             human,
