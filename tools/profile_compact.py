@@ -96,21 +96,12 @@ if "parts" in variants:
 
     @jax.jit
     def prefilter_compact(params, frame, rays):
-        pro = c.prologue(params, frame)
+        c.prologue(params, frame)
         pts, z = sample_along_rays(rays.ray_o, rays.ray_d, rays.near, rays.far, c.n_samples)
-        n = pts.shape[0] * pts.shape[1]
-        flat = pts.reshape(n, 3)
-        vd = jnp.linalg.norm(frame.tar_verts_smpl - pro.centers[c.vert_cluster], axis=1)
-        radii = jnp.zeros((pro.centers.shape[0],), vd.dtype).at[c.vert_cluster].max(vd)
-        th2 = (radii + c.cull_distance) ** 2
-
-        def pre(cp_pts):
-            d2 = pairwise_dist2(to_smpl(frame, cp_pts), pro.centers)
-            return jnp.min(d2 - th2[None], axis=1) <= 0.0
-
-        mask = jax.lax.map(pre, flat.reshape(-1, cp, 3)).reshape(n)
-        m = -(-int(0.375 * n) // cp) * cp
-        (idx,) = jnp.nonzero(mask, size=m, fill_value=n)
+        flat = pts.reshape(-1, 3)
+        idx, _, _, _, _ = c._compact_plan(
+            frame, flat, jnp.ones((flat.shape[0],), bool), cp
+        )
         return idx
 
     print(f"pro+pre+cp {tt(prefilter_compact, params, frame, rays)*1e3:8.1f} ms", flush=True)

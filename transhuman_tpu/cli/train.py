@@ -139,7 +139,9 @@ def main(argv=None, dataset=None, smpl=None):
         batches = Loader(
             fetch_batch,
             range(cfg.ep_iter),
-            num_workers=max(2, cfg.train.num_workers + 1),
+            # num_workers<=0 -> Loader's synchronous single-thread path
+            num_workers=(1 if cfg.train.num_workers <= 0
+                         else cfg.train.num_workers + 1),
             prefetch=2,
         )
 

@@ -110,10 +110,11 @@ def load_lpips_params(path: str, backbone: str = ""):
                 {k: jnp.asarray(z[k]) for k in z.files if k.startswith("conv")}
             )
     missing = [
-        f"conv{si}_{ci}_w"
+        f"conv{si}_{ci}_{t}"
         for si, (n_convs, _) in enumerate(VGG16_STAGES)
         for ci in range(n_convs)
-        if f"conv{si}_{ci}_w" not in params
+        for t in ("w", "b")
+        if f"conv{si}_{ci}_{t}" not in params
     ]
     if missing:
         raise ValueError(

@@ -150,13 +150,15 @@ class RenderPipeline:
         # separate (finer) kmeans over the canonical template than the 300
         # TransHE clusters — tighter per-cluster radii shrink the prefilter
         # superset toward the exact cull fraction (measured 17.8% -> the
-        # exact 15.1% governs), which directly shrinks the decode capacity
-        cc = min(cull_clusters, canonical_verts.shape[0])
-        cull_spec = ClusterSpec.from_kmeans(
-            np.asarray(canonical_verts, np.float32), cc, iters=8
-        )
-        self.cull_assign = jnp.asarray(cull_spec.vert2cluster, jnp.int32)
-        self.cull_pool = jnp.asarray(cull_spec.pool_matrix)  # (Cc, Nv)
+        # exact 15.1% governs), which directly shrinks the decode capacity.
+        # Built lazily: only the compact inference paths read it, and the
+        # train path should not pay the kmeans + table upload.
+        self._canon_verts = np.asarray(canonical_verts, np.float32)
+        self._cull_clusters = cull_clusters
+        self.cull_assign = None
+        self.cull_pool = None
+        if compact_ratio is not None:
+            self._build_cull_partition()
         if pe_table is not None:
             # reference-op-exact TransHE PE table from the checkpoint
             # converter (see models/vit.py docstring on high-band parity)
@@ -203,10 +205,18 @@ class RenderPipeline:
         return Prologue(tokens=tokens, pixel_map=pixel_map, centers=centers,
                         rot=rot, pixel_scale=pixel_scale)
 
+    def _build_cull_partition(self):
+        cc = min(self._cull_clusters, self._canon_verts.shape[0])
+        cull_spec = ClusterSpec.from_kmeans(self._canon_verts, cc, iters=8)
+        self.cull_assign = jnp.asarray(cull_spec.vert2cluster, jnp.int32)
+        self.cull_pool = jnp.asarray(cull_spec.pool_matrix)  # (Cc, Nv)
+
     def _prefilter_tables(self, frame: FrameInputs):
         """(centers (Cc,3), thresh2 (Cc,)) for the conservative cull
         prefilter: dist(p, body) <= cull requires some fine cluster c with
         dist(p, center_c) <= cull + r_c (squared-compare, no sqrt)."""
+        if self.cull_pool is None:  # pipe built with compaction off, then on
+            self._build_cull_partition()
         centers = self.cull_pool @ frame.tar_verts_smpl
         vd = jnp.linalg.norm(
             frame.tar_verts_smpl - centers[self.cull_assign], axis=1
@@ -223,6 +233,28 @@ class RenderPipeline:
 
         d2 = pairwise_dist2(to_smpl(frame, c_pts), centers)
         return jnp.min(d2 - thresh2[None, :], axis=1) <= 0.0
+
+    def _compact_plan(self, frame, flat, extra_mask, cp):
+        """Shared capacity-compaction machinery for the inference paths:
+        prefilter superset & extra_mask -> packed indices.
+
+        flat (N, 3) world points, extra_mask (N,) bool, cp = points per
+        decode chunk.  Returns (idx (M,) ascending with fill N, valid (M,),
+        safe (M,) clamped gather indices, n_active, M)."""
+        n = flat.shape[0]
+        m = -(-int(self.compact_ratio * n) // cp) * cp
+        centers_c, thresh2 = self._prefilter_tables(frame)
+
+        def pre_body(c_pts):
+            return self._prefilter_chunk(frame, c_pts, centers_c, thresh2)
+
+        near_pre = jax.lax.map(pre_body, flat.reshape(-1, cp, 3)).reshape(n)
+        mask = near_pre & extra_mask
+        n_active = jnp.sum(mask)
+        (idx,) = jnp.nonzero(mask, size=m, fill_value=n)  # ascending, pad=n
+        valid = idx < n
+        safe = jnp.minimum(idx, n - 1)
+        return idx, valid, safe, n_active, m
 
     def _cull(self, pts_smpl, verts_smpl):
         """SMPL-proximity mask (dist < cull_distance); fused Pallas kernel
@@ -311,10 +343,17 @@ class RenderPipeline:
         )
 
     # -- training path (one fused evaluation, no chunking) -------------
-    def render_train(self, params, frame: FrameInputs, rays: RayBundle, rng=None):
-        """All rays in one shot — the <=2400-ray branch of the reference."""
+    def render_train(self, params, frame: FrameInputs, rays: RayBundle, rng=None,
+                     sample_jitter: bool = True):
+        """All rays in one shot — the <=2400-ray branch of the reference.
+
+        sample_jitter=False drops the stratified-sampling jitter while
+        keeping rng available for raw_noise_std density noise — the two are
+        independent reference gates (cfg.perturb at if_clight_renderer.py:276
+        vs cfg.raw_noise_std in raw2outputs)."""
         pts, z_vals = sample_along_rays(
-            rays.ray_o, rays.ray_d, rays.near, rays.far, self.n_samples, rng
+            rays.ray_o, rays.ray_d, rays.near, rays.far, self.n_samples,
+            rng if sample_jitter else None,
         )
         r, s = z_vals.shape
         pro = self.prologue(params, frame)
@@ -349,9 +388,9 @@ class RenderPipeline:
         s = self.n_samples
         cr = self.chunk_rays
         assert r % cr == 0, f"ray count {r} must be padded to a multiple of {cr}"
-        n_chunks = r // cr
         if self.compact_ratio is not None:
             return self._render_frame_compact(params, frame, rays)
+        n_chunks = r // cr
 
         pro = self.prologue(params, frame)
         viewdir = rays.ray_d / jnp.linalg.norm(rays.ray_d, axis=-1, keepdims=True)
@@ -406,7 +445,6 @@ class RenderPipeline:
         s = self.n_samples
         n = r * s
         cp = self.chunk_rays * s  # points per decode chunk
-        m = -(-int(self.compact_ratio * n) // cp) * cp
 
         pro = self.prologue(params, frame)
         viewdir = rays.ray_d / jnp.linalg.norm(rays.ray_d, axis=-1, keepdims=True)
@@ -420,18 +458,9 @@ class RenderPipeline:
         # clusters + per-cluster bounding radii picks the compaction superset
         # (nothing the exact cull keeps is lost); the exact 6890-vert
         # min-dist then runs only inside the compacted decode chunks
-        centers_c, thresh2 = self._prefilter_tables(frame)
-
-        def pre_body(c_pts):
-            return self._prefilter_chunk(frame, c_pts, centers_c, thresh2)
-
-        near_pre = jax.lax.map(pre_body, flat.reshape(-1, cp, 3)).reshape(n)
-        mask = near_pre & jnp.repeat(rays.mask, s)
-        n_active = jnp.sum(mask)
-
-        (idx,) = jnp.nonzero(mask, size=m, fill_value=n)  # ascending, pad=n
-        valid = idx < n
-        safe = jnp.minimum(idx, n - 1)
+        idx, valid, safe, n_active, m = self._compact_plan(
+            frame, flat, jnp.repeat(rays.mask, s), cp
+        )
         c_pts = flat[safe]
         c_vde = vde[jnp.minimum(safe // s, r - 1)]
 
@@ -491,20 +520,9 @@ class RenderPipeline:
             # same static-capacity compaction as _render_frame_compact; the
             # dense grid's active fraction (the 0.1 m shell around the body)
             # is far below the ray workload's, so the margin is generous
-            m = -(-int(self.compact_ratio * n) // cp) * cp
-            centers_c, thresh2 = self._prefilter_tables(frame)
-
-            def pre_body(c_pts):
-                return self._prefilter_chunk(frame, c_pts, centers_c, thresh2)
-
-            near_pre = jax.lax.map(
-                pre_body, pts_world.reshape(-1, cp, 3)
-            ).reshape(n)
-            mask = near_pre & pts_mask
-            n_active = jnp.sum(mask)
-            (idx,) = jnp.nonzero(mask, size=m, fill_value=n)
-            valid = idx < n
-            safe = jnp.minimum(idx, n - 1)
+            idx, valid, safe, n_active, m = self._compact_plan(
+                frame, pts_world, pts_mask, cp
+            )
             c_pts_all = pts_world[safe]
 
             def chunk_body(chunk):

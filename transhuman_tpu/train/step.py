@@ -93,7 +93,7 @@ def make_train_step(
 
     def sample_loss(params, sample: TrainSample, rng):
         out = pipe.render_train(
-            params, sample.frame, sample.rays, rng if perturb else None
+            params, sample.frame, sample.rays, rng, sample_jitter=perturb
         )
         if not patch_mode:
             return random_ray_losses(out["rgb_map"], sample, l2_weight)
