@@ -174,6 +174,7 @@ def test_compaction_matches_plain_render_frame(setup):
     honestly when the capacity is too small."""
     pipe, params, frame, rays = setup
     base = pipe.render_frame(params, frame, rays)
+    assert float(np.abs(np.asarray(base["acc_map"])).sum()) > 0.1  # non-trivial scene
     c = RenderPipeline.__new__(RenderPipeline)
     c.__dict__.update(pipe.__dict__)
     c.compact_ratio = 0.9

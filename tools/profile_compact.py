@@ -115,6 +115,31 @@ if "parts" in variants:
 
     print(f"smp+compos {tt(sample_and_composite, rays)*1e3:8.1f} ms", flush=True)
 
+if "overlap" in variants:
+    # Does the pixel-feature gather overlap with the rest of the decode, or
+    # serialize (scalar-core descriptor issue)?  Compare the full compact
+    # render against one whose sampler is a gather-free dummy of identical
+    # output shape; if full ≈ dummy + standalone-gather, it's serial.
+    import jax.numpy as jnp
+
+    import transhuman_tpu.render.pipeline as P
+    from transhuman_tpu.ops.sampling import sample_feature_map as _orig
+
+    c = clone(0.375)
+    dt, _ = t(jax.jit(c.render_frame), params, frame, rays)
+    print(f"full(.375)    {dt*1e3:8.1f} ms", flush=True)
+
+    def _dummy(feat, uv, ishape):
+        base = feat[:, 0, 0, :][:, None, :]
+        return base * (jnp.sum(uv, axis=-1, keepdims=True) * 0 + 1).astype(feat.dtype)
+
+    P.sample_feature_map = _dummy
+    try:
+        dt2, _ = t(jax.jit(c.render_frame), params, frame, rays)
+        print(f"no-gather     {dt2*1e3:8.1f} ms", flush=True)
+    finally:
+        P.sample_feature_map = _orig
+
 # decode chunk-size sweep at a fixed ratio ("chunk1024", "chunk2048", ...)
 for name in variants:
     if not name.startswith("chunk"):

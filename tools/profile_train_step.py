@@ -52,7 +52,22 @@ if "fwd" in sys.argv:
         l, _ = patch_losses(out["rgb_map"], s, None, 1.0, 0.1)
         return l
 
-    print(f"fwd-only     {_timeit(fwd, state.params, sample, jax.random.PRNGKey(2))*1e3:8.1f} ms", flush=True)
+    # device-resident args — numpy leaves would re-upload ~10 MB per call
+    # through the tunnel and dominate the measurement (learned the hard way:
+    # a numpy `sample` made this read 512 ms for a ~150 ms fwd)
+    sample_dev = jax.tree.map(jnp.asarray, sample)
+    jax.block_until_ready(jax.tree.leaves(sample_dev)[0])
+    print(f"fwd-only     {_timeit(fwd, state.params, sample_dev, jax.random.PRNGKey(2))*1e3:8.1f} ms", flush=True)
+
+if "render" in sys.argv:
+    # render_train without the loss, device args
+    @jax.jit
+    def rt(params, s, rng):
+        return pipe.render_train(params, s.frame, s.rays, rng)["rgb_map"]
+
+    sample_dev = jax.tree.map(jnp.asarray, sample)
+    jax.block_until_ready(jax.tree.leaves(sample_dev)[0])
+    print(f"render-only  {_timeit(rt, state.params, sample_dev, jax.random.PRNGKey(2))*1e3:8.1f} ms", flush=True)
 
 if "nosamplegrad" in sys.argv:
     import transhuman_tpu.render.pipeline as P

@@ -206,10 +206,13 @@ class RenderPipeline:
                         rot=rot, pixel_scale=pixel_scale)
 
     def _build_cull_partition(self):
+        # numpy, NOT jnp: the lazy build may run inside a jit trace (first
+        # compact render of a pipe built with compaction off) and caching a
+        # traced constant on self would leak the tracer into later traces
         cc = min(self._cull_clusters, self._canon_verts.shape[0])
         cull_spec = ClusterSpec.from_kmeans(self._canon_verts, cc, iters=8)
-        self.cull_assign = jnp.asarray(cull_spec.vert2cluster, jnp.int32)
-        self.cull_pool = jnp.asarray(cull_spec.pool_matrix)  # (Cc, Nv)
+        self.cull_assign = np.asarray(cull_spec.vert2cluster, np.int32)
+        self.cull_pool = np.asarray(cull_spec.pool_matrix, np.float32)  # (Cc, Nv)
 
     def _prefilter_tables(self, frame: FrameInputs):
         """(centers (Cc,3), thresh2 (Cc,)) for the conservative cull
