@@ -71,8 +71,6 @@ if "parts" in variants:
     # component breakdown of the compact path at ratio 0.375
     import jax.numpy as jnp
     from transhuman_tpu.render.volume import composite, sample_along_rays
-    from transhuman_tpu.render.pipeline import to_smpl
-    from transhuman_tpu.ops.knn import pairwise_dist2
 
     c = clone(0.375)
 

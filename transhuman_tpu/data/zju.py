@@ -34,6 +34,7 @@ from ..registry import DATASETS
 from ..render.pipeline import FrameInputs
 from ..train.loss import TrainSample
 from . import catalog
+from .aug import transform_can_smpl
 from .jitter import color_jitter
 from .ray_sampling import (
     EvalRays,
@@ -336,8 +337,6 @@ class ZJUDataset:
         # structure never flips between steps.
         aug = None
         if train and self.cfg.rot_ratio > 0:
-            from .aug import transform_can_smpl
-
             verts_smpl, a_center, a_rot, a_trans = transform_can_smpl(
                 verts_smpl, rng, self.cfg.rot_ratio
             )

@@ -465,7 +465,7 @@ class RenderPipeline:
             frame, flat, jnp.repeat(rays.mask, s), cp
         )
         c_pts = flat[safe]
-        c_vde = vde[jnp.minimum(safe // s, r - 1)]
+        c_vde = vde[safe // s]  # safe <= n-1, so safe // s <= r-1
 
         def chunk_body(chunk):
             pts_c, vde_c, valid_c = chunk
