@@ -212,3 +212,50 @@ def test_sigma_compaction_matches_plain(setup):
     got, over = c.render_sigma(params, frame, pts, mask)
     assert int(over[0]) == 0
     np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=2e-5)
+
+
+def test_compact_all_rays_masked(setup):
+    """A fully masked bundle renders exact zeros with zero overflow."""
+    pipe, params, frame, rays = setup
+    c = RenderPipeline.__new__(RenderPipeline)
+    c.__dict__.update(pipe.__dict__)
+    c.compact_ratio = 0.5
+    import jax.numpy as jnp
+
+    dead = RayBundle(
+        ray_o=rays.ray_o, ray_d=rays.ray_d, near=rays.near, far=rays.far,
+        mask=jnp.zeros_like(rays.mask),
+    )
+    out = c.render_frame(params, frame, dead)
+    np.testing.assert_array_equal(np.asarray(out["rgb_map"]), 0.0)
+    np.testing.assert_array_equal(np.asarray(out["acc_map"]), 0.0)
+    assert int(out["overflow"][0]) == 0
+
+
+def test_compact_respects_aug_fields(setup):
+    """Compact render with transform_can_smpl aug fields == plain render
+    with the same fields (the aug moves the cull geometry consistently)."""
+    import jax.numpy as jnp
+
+    from transhuman_tpu.data.aug import transform_can_smpl
+
+    pipe, params, frame, rays = setup
+    rng = np.random.default_rng(11)
+    verts_smpl = np.asarray((frame.verts_world - frame.Th) @ frame.Rh)
+    aug_verts, center, rot3, trans = transform_can_smpl(verts_smpl, rng, 1.0)
+    f2 = frame.replace(
+        tar_verts_smpl=jnp.asarray(aug_verts),
+        aug_center=jnp.asarray(center),
+        aug_rot=jnp.asarray(rot3),
+        aug_trans=jnp.asarray(trans),
+    )
+    base = pipe.render_frame(params, f2, rays)
+    c = RenderPipeline.__new__(RenderPipeline)
+    c.__dict__.update(pipe.__dict__)
+    c.compact_ratio = 0.9
+    out = c.render_frame(params, f2, rays)
+    assert int(out["overflow"][0]) == 0
+    for k in ("rgb_map", "acc_map", "depth_map"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(base[k]), atol=2e-5
+        )
