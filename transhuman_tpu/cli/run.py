@@ -48,16 +48,35 @@ def _make_render(cfg, pipe):
     return jax.jit(pipe.render_frame), max(cfg.pad_bucket, pipe.chunk_rays)
 
 
-def _render_bucketed(pipe, render_jit, params, frame, eval_rays, bucket):
+def _dispatch_render(render_jit, params, frame, eval_rays, bucket):
+    """Async: jit dispatch only — device arrays come back unfetched."""
     rays = pad_rays(eval_rays.rays, bucket)
-    out = render_jit(params, jax.tree.map(jnp.asarray, frame),
-                     jax.tree.map(jnp.asarray, rays))
+    return render_jit(params, jax.tree.map(jnp.asarray, frame),
+                      jax.tree.map(jnp.asarray, rays))
+
+
+def _fetch_render(out, eval_rays):
+    """Force the device outputs to host (blocks until the render is done)."""
     n = eval_rays.rays.ray_o.shape[0]
     over = int(np.sum(np.asarray(out.pop("overflow", 0))))
     if over:
         print(f"WARNING: compaction capacity clipped {over} active points "
               "(rgb holes) — raise cfg.compact_ratio")
     return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+
+def _pipelined(items, dispatch):
+    """Yield (item, device_out) one frame behind the dispatch: frame i+1's
+    render runs on the device while the caller does host-side work
+    (metrics, PNG encode) for frame i."""
+    prev = None
+    for item in items:
+        dev = dispatch(item)
+        if prev is not None:
+            yield prev
+        prev = (item, dev)
+    if prev is not None:
+        yield prev
 
 
 def run_evaluate(cfg, pipe, model, smpl, dataset=None):
@@ -81,9 +100,12 @@ def run_evaluate(cfg, pipe, model, smpl, dataset=None):
         dataset.frame_sampler_indices(),
         prefetch=2,
     )  # overlap host decode/undistort with the device render
-    for item in items:
-        out = _render_bucketed(pipe, render_jit, params, item.frame,
-                               item.eval_rays, bucket)
+    for item, out_dev in _pipelined(
+        items,
+        lambda it: _dispatch_render(render_jit, params, it.frame,
+                                    it.eval_rays, bucket),
+    ):  # metrics for frame i run while frame i+1 renders
+        out = _fetch_render(out_dev, item.eval_rays)
         hw = item.target_img.shape[:2]
         r = ev.evaluate_frame(
             out["rgb_map"], item.eval_rays.rgb, item.eval_rays.mask_at_box, hw,
@@ -111,9 +133,12 @@ def run_visualize(cfg, pipe, model, smpl, dataset=None):
         dataset.frame_sampler_indices(full_eval=True),
         prefetch=2,
     )
-    for item in items:
-        out = _render_bucketed(pipe, render_jit, params, item.frame,
-                               item.eval_rays, bucket)
+    for item, out_dev in _pipelined(
+        items,
+        lambda it: _dispatch_render(render_jit, params, it.frame,
+                                    it.eval_rays, bucket),
+    ):  # PNG encode for frame i runs while frame i+1 renders
+        out = _fetch_render(out_dev, item.eval_rays)
         hw = item.target_img.shape[:2]
         p = vis.visualize(out["rgb_map"], item.eval_rays.mask_at_box, hw,
                           item.frame_index, human=item.human)
