@@ -42,12 +42,20 @@ def extract_mesh(
     grid = make_grid(can_bounds, voxel_size)
     gx, gy, gz, _ = grid.shape
     flat = grid.reshape(-1, 3)
-    cp = pipe.chunk_rays * pipe.n_samples
-    pad = (-flat.shape[0]) % cp
+    # pad to a COARSE bucket (8 chunks) so per-frame grid-size variation
+    # collapses onto few shapes and the jitted program is reused across
+    # frames (per-frame shapes would recompile; eager mode pays the
+    # per-op dispatch latency instead)
+    bucket = pipe.chunk_rays * pipe.n_samples * 8
+    pad = (-flat.shape[0]) % bucket
     flat_p = np.pad(flat, ((0, pad), (0, 0)))
     mask = np.concatenate([np.ones(flat.shape[0], bool), np.zeros(pad, bool)])
 
-    sigma_flat, overflow = pipe.render_sigma(
+    fn = getattr(pipe, "_render_sigma_jit", None)
+    if fn is None:  # one persistent wrapper per pipe: jit caches by identity
+        fn = jax.jit(pipe.render_sigma)
+        pipe._render_sigma_jit = fn
+    sigma_flat, overflow = fn(
         params, jax.tree.map(jnp.asarray, frame), jnp.asarray(flat_p), jnp.asarray(mask)
     )
     over = int(np.asarray(overflow)[0])
