@@ -1,9 +1,11 @@
 """Golden-equality test for the freeview camera path.
 
-The fixture was produced by the op-order-faithful transcription of the
-reference's `render_utils.gen_path_virt` (render_utils.py:318-364); the
-vectorized repo-idiom implementation must reproduce it to float64 precision
-(the path feeds freeview-video parity end to end).
+The fixture was produced by a VERBATIM transcription of the reference's
+`render_utils.gen_path_virt` + `viewmatrix` (render_utils.py:222-231,
+318-364), kept outside the repo and used only as an oracle (regenerated
+round 3 after the round-2 golden was found to carry a 90-degree roll).
+The vectorized repo-idiom implementation must reproduce it to float64
+precision (the path feeds freeview-video parity end to end).
 """
 
 from pathlib import Path

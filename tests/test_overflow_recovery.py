@@ -1,0 +1,96 @@
+"""Compaction-overflow auto-recovery: no code path may ship rgb/mesh holes.
+
+The reference's scatter is always complete (if_clight_renderer.py:468-482,
+if_mesh_renderer.py:46-96) because it uses dynamic shapes; our
+static-capacity compaction can clip when cfg.compact_ratio is set too
+small.  The CLI's FrameRenderer and extract_mesh must detect the overflow
+and transparently re-render through the dense (compaction-off) path, so the
+written image/mesh equals the dense result bit-for-bit even with a
+pathological ratio.
+"""
+
+import types
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transhuman_tpu.render.pipeline import RenderPipeline
+
+from test_pipeline import setup  # noqa: F401  (module-scoped fixture)
+
+
+def _twin(pipe, ratio, cull=None):
+    c = RenderPipeline.__new__(RenderPipeline)
+    c.__dict__.update(pipe.__dict__)
+    # drop jits cached on the source pipe: they are bound to ITS methods
+    for k in ("_render_sigma_jit", "_render_sigma_dense_jit"):
+        c.__dict__.pop(k, None)
+    c.compact_ratio = ratio
+    if cull is not None:
+        c.cull_distance = cull
+    return c
+
+
+def _starved(pipe, ratio=0.01):
+    return _twin(pipe, ratio, cull=1e9)  # everything active -> overflow
+
+
+def _cfg():
+    return types.SimpleNamespace(mesh_axis_rays=1, pad_bucket=8)
+
+
+def test_frame_renderer_recovers_from_overflow(setup, capsys):  # noqa: F811
+    from transhuman_tpu.cli.run import FrameRenderer
+
+    pipe, params, frame, rays = setup
+    starved = _starved(pipe)
+    # dense ground truth with the same (huge) cull distance
+    dense = starved.render_frame_dense(params, frame, rays)
+
+    r = FrameRenderer(_cfg(), starved)
+    eval_rays = types.SimpleNamespace(rays=rays)
+    out = r.fetch(params, r.dispatch(params, frame, eval_rays), eval_rays)
+    assert "compaction capacity clipped" in capsys.readouterr().out
+    assert "overflow" not in out
+    for k in ("rgb_map", "acc_map", "depth_map"):
+        np.testing.assert_allclose(
+            out[k], np.asarray(dense[k]), atol=2e-5,
+            err_msg=f"{k} differs from the dense render after recovery",
+        )
+
+
+def test_frame_renderer_no_fallback_when_healthy(setup):  # noqa: F811
+    from transhuman_tpu.cli.run import FrameRenderer
+
+    pipe, params, frame, rays = setup
+    c = RenderPipeline.__new__(RenderPipeline)
+    c.__dict__.update(pipe.__dict__)
+    c.compact_ratio = 0.9
+    r = FrameRenderer(_cfg(), c)
+    eval_rays = types.SimpleNamespace(rays=rays)
+    out = r.fetch(params, r.dispatch(params, frame, eval_rays), eval_rays)
+    assert r._dense is None  # healthy run never builds the fallback jit
+    base = pipe.render_frame(params, frame, rays)
+    np.testing.assert_allclose(
+        out["rgb_map"], np.asarray(base["rgb_map"]), atol=2e-5
+    )
+
+
+def test_extract_mesh_recovers_from_overflow(setup, capsys):  # noqa: F811
+    from transhuman_tpu.mesh_ops.reconstruct import extract_mesh
+
+    pipe, params, frame, _ = setup
+    bounds = np.array([[-0.4, -0.4, -0.4], [0.4, 0.4, 0.4]], np.float32)
+    kw = dict(voxel_size=(0.1, 0.1, 0.1), mesh_th=0.05)
+
+    # dense ground truth with the same (huge) cull distance as the starved run
+    dense = _twin(pipe, None, cull=1e9)
+    verts_d, tris_d, cube_d = extract_mesh(dense, params, frame, bounds, **kw)
+
+    starved = _starved(pipe)
+    verts, tris, cube = extract_mesh(starved, params, frame, bounds, **kw)
+    assert "compaction capacity clipped" in capsys.readouterr().out
+    np.testing.assert_allclose(cube, cube_d, atol=1e-6)
+    np.testing.assert_allclose(verts, verts_d, atol=1e-6)
+    np.testing.assert_array_equal(tris, tris_d)

@@ -204,6 +204,21 @@ def test_random_ray_sampler_contract(fake_zju):
     )
     np.testing.assert_array_equal(rr.coord, rr2.coord)
 
+    # pathological geometry (AABB behind the camera): the 64-round cap pads
+    # and must SAY so (the reference's loop is unbounded,
+    # if_nerf_data_utils.py:516-614) — padding rays are loss-masked
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rr_bad = sample_train_rays_random(
+            img, msk, K, R, T.reshape(3, 1), bounds + [[1000.0, 1000.0, 0.0]],
+            np.random.default_rng(7), n_rays=32, body_ratio=0.5,
+        )
+    assert "padded" in buf.getvalue()
+    assert not rr_bad.rays.mask.any()
+
     # dataset routing: use_patch_sampling=False fills target_rgb
     cfg2 = copy.deepcopy(cfg)
     cfg2.patch.use_patch_sampling = False

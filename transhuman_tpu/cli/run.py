@@ -26,9 +26,10 @@ from ..viz.video import frames_to_video
 from .common import build_runtime, model_dir, parse_args, result_dir
 
 
-def _make_render(cfg, pipe):
+def _make_render(cfg, pipe, dense=False):
     """(render_fn, ray bucket).  cfg.mesh_axis_rays > 1 shards the ray axis
-    over that many devices (parallel/infer.py); otherwise single-device jit."""
+    over that many devices (parallel/infer.py); otherwise single-device jit.
+    dense=True forces the compaction-off path (overflow fallback)."""
     if cfg.mesh_axis_rays > 1:
         from jax.sharding import Mesh
 
@@ -41,28 +42,51 @@ def _make_render(cfg, pipe):
                 f"{len(devs)} devices are available"
             )
         render, pad_mult = make_sharded_render(
-            pipe, Mesh(np.array(devs[: cfg.mesh_axis_rays]), ("data",))
+            pipe, Mesh(np.array(devs[: cfg.mesh_axis_rays]), ("data",)),
+            dense=dense,
         )
         bucket = -(-max(cfg.pad_bucket, pad_mult) // pad_mult) * pad_mult
         return render, bucket
-    return jax.jit(pipe.render_frame), max(cfg.pad_bucket, pipe.chunk_rays)
+    fn = pipe.render_frame_dense if dense else pipe.render_frame
+    return jax.jit(fn), max(cfg.pad_bucket, pipe.chunk_rays)
 
 
-def _dispatch_render(render_jit, params, frame, eval_rays, bucket):
-    """Async: jit dispatch only — device arrays come back unfetched."""
-    rays = pad_rays(eval_rays.rays, bucket)
-    return render_jit(params, jax.tree.map(jnp.asarray, frame),
-                      jax.tree.map(jnp.asarray, rays))
+class FrameRenderer:
+    """Jitted frame render with overflow auto-recovery: if the compact
+    path's static capacity clips (overflow > 0), the frame is re-rendered
+    through the dense (compaction-off) path BEFORE anything is written, so
+    no code path can ship rgb holes — matching the reference's
+    always-complete scatter (if_clight_renderer.py:468-482).  The dense
+    fallback is jitted lazily: a healthy run never pays its compile."""
 
+    def __init__(self, cfg, pipe):
+        self._cfg, self._pipe = cfg, pipe
+        self._render, self.bucket = _make_render(cfg, pipe)
+        self._dense = None
 
-def _fetch_render(out, eval_rays):
-    """Force the device outputs to host (blocks until the render is done)."""
-    n = eval_rays.rays.ray_o.shape[0]
-    over = int(np.sum(np.asarray(out.pop("overflow", 0))))
-    if over:
-        print(f"WARNING: compaction capacity clipped {over} active points "
-              "(rgb holes) — raise cfg.compact_ratio")
-    return {k: np.asarray(v)[:n] for k, v in out.items()}
+    def dispatch(self, params, frame, eval_rays):
+        """Async: jit dispatch only — device arrays come back unfetched."""
+        rays = pad_rays(eval_rays.rays, self.bucket)
+        frame_d = jax.tree.map(jnp.asarray, frame)
+        rays_d = jax.tree.map(jnp.asarray, rays)
+        return self._render(params, frame_d, rays_d), frame_d, rays_d
+
+    def fetch(self, params, dispatched, eval_rays):
+        """Force outputs to host (blocks); dense re-render on overflow."""
+        out, frame_d, rays_d = dispatched
+        n = eval_rays.rays.ray_o.shape[0]
+        over = int(np.sum(np.asarray(out.pop("overflow", 0))))
+        if over:
+            print(
+                f"WARNING: compaction capacity clipped {over} active points;"
+                " re-rendering this frame with compaction off (raise"
+                " cfg.compact_ratio to avoid the slow fallback)"
+            )
+            if self._dense is None:
+                self._dense, _ = _make_render(self._cfg, self._pipe, dense=True)
+            out = dict(self._dense(params, frame_d, rays_d))
+            out.pop("overflow", None)
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
 
 
 def _pipelined(items, dispatch):
@@ -93,7 +117,7 @@ def run_evaluate(cfg, pipe, model, smpl, dataset=None):
         )
     ev = Evaluator(result_dir(cfg), lpips_fn=lpips_fn,
                    exp_name=cfg.exp_name, epoch=epoch)
-    render_jit, bucket = _make_render(cfg, pipe)
+    renderer = FrameRenderer(cfg, pipe)
 
     items = Loader(
         lambda i: dataset.get_eval_item(int(i)),
@@ -102,10 +126,9 @@ def run_evaluate(cfg, pipe, model, smpl, dataset=None):
     )  # overlap host decode/undistort with the device render
     for item, out_dev in _pipelined(
         items,
-        lambda it: _dispatch_render(render_jit, params, it.frame,
-                                    it.eval_rays, bucket),
+        lambda it: renderer.dispatch(params, it.frame, it.eval_rays),
     ):  # metrics for frame i run while frame i+1 renders
-        out = _fetch_render(out_dev, item.eval_rays)
+        out = renderer.fetch(params, out_dev, item.eval_rays)
         hw = item.target_img.shape[:2]
         r = ev.evaluate_frame(
             out["rgb_map"], item.eval_rays.rgb, item.eval_rays.mask_at_box, hw,
@@ -125,7 +148,7 @@ def run_visualize(cfg, pipe, model, smpl, dataset=None):
     params, _ = load_params(model_dir(cfg), cfg.test.epoch)
     out_dir = os.path.join(result_dir(cfg), "perform")
     vis = PerformVisualizer(out_dir, white_bkgd=cfg.white_bkgd)
-    render_jit, bucket = _make_render(cfg, pipe)
+    renderer = FrameRenderer(cfg, pipe)
 
     humans = set()
     items = Loader(
@@ -135,10 +158,9 @@ def run_visualize(cfg, pipe, model, smpl, dataset=None):
     )
     for item, out_dev in _pipelined(
         items,
-        lambda it: _dispatch_render(render_jit, params, it.frame,
-                                    it.eval_rays, bucket),
+        lambda it: renderer.dispatch(params, it.frame, it.eval_rays),
     ):  # PNG encode for frame i runs while frame i+1 renders
-        out = _fetch_render(out_dev, item.eval_rays)
+        out = renderer.fetch(params, out_dev, item.eval_rays)
         hw = item.target_img.shape[:2]
         p = vis.visualize(out["rgb_map"], item.eval_rays.mask_at_box, hw,
                           item.frame_index, human=item.human)

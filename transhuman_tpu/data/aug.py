@@ -7,9 +7,12 @@ Parity with the reference's `transform_can_smpl`
 x/z offsets (+-0.05 / +-0.025 m).  The identity triple is returned otherwise
 (the reference default ``rot_ratio=0`` makes this a no-op).
 
-The same rigid transform must hit the sampled points at query time; the
-reference applies it per-batch on-device during training
-(`if_clight_renderer.py:305-323`, ``transform_sampling_points``).  Here the
+The same rigid transform also hits the sampled points at query time here —
+an INTENTIONAL DEVIATION from the reference: the reference defines
+``transform_sampling_points`` (`if_clight_renderer.py:305-323`) but never
+calls it, so under augmentation (rot_ratio > 0) its query points are
+inconsistent with its transformed verts.  We keep verts and query points
+consistent instead (identical behavior at the default rot_ratio = 0).  The
 2x2 xz rotation is packed into a full (3, 3) matrix so the device side is a
 single matmul:
 

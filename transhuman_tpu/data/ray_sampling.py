@@ -226,6 +226,16 @@ def sample_train_rays_random(
         valid[n : n + k] = True
         n += k
 
+    if n < n_rays:
+        # the reference's rejection loop is unbounded (if_nerf_data_utils.py:
+        # 516-614); our 64-round cap pads instead — masked_mse drops the
+        # padding, but the step then trains on fewer effective rays, so say so
+        print(
+            f"WARNING: ray rejection sampling padded {n_rays - n}/{n_rays} "
+            "rays after 64 rounds (degenerate mask/bounds?) — these rays are "
+            "masked out of the loss"
+        )
+
     rays = RayBundle(
         ray_o=ray_o[sel].astype(np.float32),
         ray_d=np.where(valid[:, None], ray_d[sel], [[0, 0, 1.0]]).astype(

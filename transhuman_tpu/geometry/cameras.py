@@ -85,12 +85,15 @@ def gen_path_virt(RT, render_views: int, center=None):
     pivot = rig[:, 3] + z_off * rig[:, 0]
     fwd = _normalize_rows(pos - pivot)
 
-    # look-at basis per view (viewmatrix: right = up x fwd, new-up = fwd x right)
+    # look-at basis per view, matching the reference's `viewmatrix`
+    # (render_utils.py:225-231): vec1 = normalize(cross(fwd, up_hint)),
+    # vec0 = normalize(cross(vec1, fwd)).  With right := cross(up, fwd)
+    # that is vec1 = -right, vec0 = cross(fwd, right) = vup.
     right = _normalize_rows(np.cross(up, fwd))
     vup = _normalize_rows(np.cross(fwd, right))
-    # column shuffle [1,0,-2,3] of [right, vup, fwd, pos] -> OpenCV c2w:
-    # x = vup (image down), y = right, z = -fwd... then invert rigidly
-    rot_c2w = np.stack([vup, right, -fwd], 2)  # (views, 3, 3)
+    # column shuffle [1,0,-2,3] of [vec0, vec1, fwd, pos] -> OpenCV c2w
+    # columns x = vec1 = -right, y = vec0 = vup, z = -fwd; then invert rigidly
+    rot_c2w = np.stack([-right, vup, -fwd], 2)  # (views, 3, 3)
     w2c = np.zeros((render_views, 4, 4))
     w2c[:, :3, :3] = np.transpose(rot_c2w, (0, 2, 1))
     w2c[:, :3, 3] = -np.einsum("vij,vj->vi", w2c[:, :3, :3], pos)

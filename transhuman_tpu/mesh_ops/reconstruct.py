@@ -60,8 +60,22 @@ def extract_mesh(
     )
     over = int(np.asarray(overflow)[0])
     if over:
+        # overflow auto-recovery: re-run the sigma pass with compaction off
+        # so the extracted mesh can never carry capacity holes (the
+        # reference's dense grid query is always complete,
+        # if_mesh_renderer.py:46-96); the fallback jit is built lazily —
+        # healthy runs never pay its compile
         print(f"WARNING: compaction capacity clipped {over} active grid "
-              "points (mesh holes) — raise cfg.compact_ratio")
+              "points; re-running sigma with compaction off (raise "
+              "cfg.compact_ratio to avoid the slow fallback)")
+        dense_fn = getattr(pipe, "_render_sigma_dense_jit", None)
+        if dense_fn is None:
+            dense_fn = jax.jit(pipe.render_sigma_dense)
+            pipe._render_sigma_dense_jit = dense_fn
+        sigma_flat, _ = dense_fn(
+            params, jax.tree.map(jnp.asarray, frame), jnp.asarray(flat_p),
+            jnp.asarray(mask),
+        )
     sigma = np.asarray(sigma_flat)[: flat.shape[0]].reshape(gx, gy, gz)
 
     cube = np.pad(sigma, pad_voxels, mode="constant")

@@ -15,17 +15,20 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_sharded_render(pipe, mesh: Mesh):
+def make_sharded_render(pipe, mesh: Mesh, dense: bool = False):
     """Returns (render_fn, pad_multiple).
 
     render_fn(params, frame, rays) -> maps dict; the RayBundle must be
     padded to a multiple of `pad_multiple` rays (pipeline.pad_rays).
+    dense=True forces the compaction-off path (the CLI's overflow
+    auto-recovery fallback).
     """
     n_dev = mesh.devices.size
     pad_multiple = n_dev * pipe.chunk_rays
+    method = pipe.render_frame_dense if dense else pipe.render_frame
 
     def local(params, frame, rays):
-        return pipe.render_frame(params, frame, rays)
+        return method(params, frame, rays)
 
     fn = jax.jit(
         shard_map(

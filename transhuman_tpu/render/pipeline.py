@@ -157,8 +157,6 @@ class RenderPipeline:
         self._cull_clusters = cull_clusters
         self.cull_assign = None
         self.cull_pool = None
-        if compact_ratio is not None:
-            self._build_cull_partition()
         if pe_table is not None:
             # reference-op-exact TransHE PE table from the checkpoint
             # converter (see models/vit.py docstring on high-band parity)
@@ -387,12 +385,20 @@ class RenderPipeline:
         matching render_fast's scatter-back semantics
         (if_clight_renderer.py:468-482).
         """
+        if self.compact_ratio is not None:
+            return self._render_frame_compact(params, frame, rays)
+        return self.render_frame_dense(params, frame, rays)
+
+    def render_frame_dense(self, params, frame: FrameInputs, rays: RayBundle):
+        """render_frame with compaction unconditionally OFF: every sample
+        point runs the decode.  Slower, but capacity-free — the CLI's
+        overflow auto-recovery re-renders through this path so no shipped
+        image can carry compaction holes (the reference's scatter is always
+        complete, if_clight_renderer.py:468-482)."""
         r = rays.ray_o.shape[0]
         s = self.n_samples
         cr = self.chunk_rays
         assert r % cr == 0, f"ray count {r} must be padded to a multiple of {cr}"
-        if self.compact_ratio is not None:
-            return self._render_frame_compact(params, frame, rays)
         n_chunks = r // cr
 
         pro = self.prologue(params, frame)
@@ -516,33 +522,44 @@ class RenderPipeline:
         n = pts_world.shape[0]
         cp = self.chunk_rays * self.n_samples  # points per chunk
         assert n % cp == 0, f"{n} not a multiple of chunk {cp}"
+        if self.compact_ratio is None:
+            return self.render_sigma_dense(params, frame, pts_world, pts_mask)
         pro = self.prologue(params, frame)
         vde = jnp.zeros((cp, 27), pts_world.dtype)
 
-        if self.compact_ratio is not None:
-            # same static-capacity compaction as _render_frame_compact; the
-            # dense grid's active fraction (the 0.1 m shell around the body)
-            # is far below the ray workload's, so the margin is generous
-            idx, valid, safe, n_active, m = self._compact_plan(
-                frame, pts_world, pts_mask, cp
+        # same static-capacity compaction as _render_frame_compact; the
+        # dense grid's active fraction (the 0.1 m shell around the body)
+        # is far below the ray workload's, so the margin is generous
+        idx, valid, safe, n_active, m = self._compact_plan(
+            frame, pts_world, pts_mask, cp
+        )
+        c_pts_all = pts_world[safe]
+
+        def chunk_body(chunk):
+            c_pts, c_valid = chunk
+            exact = self._cull(to_smpl(frame, c_pts), frame.tar_verts_smpl)
+            raw = self.query_points(
+                params, frame, pro, c_pts, vde, c_valid & exact,
+                allow_pallas=True,
             )
-            c_pts_all = pts_world[safe]
+            return raw[:, 3].astype(jnp.float32)
 
-            def chunk_body(chunk):
-                c_pts, c_valid = chunk
-                exact = self._cull(to_smpl(frame, c_pts), frame.tar_verts_smpl)
-                raw = self.query_points(
-                    params, frame, pro, c_pts, vde, c_valid & exact,
-                    allow_pallas=True,
-                )
-                return raw[:, 3].astype(jnp.float32)
+        sig_c = jax.lax.map(
+            chunk_body,
+            (c_pts_all.reshape(-1, cp, 3), valid.reshape(-1, cp)),
+        ).reshape(m)
+        sigma = jnp.zeros((n,), jnp.float32).at[idx].set(sig_c, mode="drop")
+        return sigma, jnp.maximum(n_active - m, 0).reshape(1)
 
-            sig_c = jax.lax.map(
-                chunk_body,
-                (c_pts_all.reshape(-1, cp, 3), valid.reshape(-1, cp)),
-            ).reshape(m)
-            sigma = jnp.zeros((n,), jnp.float32).at[idx].set(sig_c, mode="drop")
-            return sigma, jnp.maximum(n_active - m, 0).reshape(1)
+    def render_sigma_dense(self, params, frame: FrameInputs, pts_world, pts_mask):
+        """render_sigma with compaction unconditionally OFF (overflow
+        auto-recovery fallback for the mesh workload; always returns
+        overflow = 0)."""
+        n = pts_world.shape[0]
+        cp = self.chunk_rays * self.n_samples
+        assert n % cp == 0, f"{n} not a multiple of chunk {cp}"
+        pro = self.prologue(params, frame)
+        vde = jnp.zeros((cp, 27), pts_world.dtype)
 
         def chunk_body(chunk):
             c_pts, c_mask = chunk
