@@ -79,6 +79,58 @@ def test_full_file_roundtrip(tmp_path):
     assert sorted(loaded) == sorted(params)
 
 
+def test_masked_lpips_equals_unpadded():
+    """Bucket-padded masked LPIPS == plain LPIPS on the unpadded crop, for
+    odd/even extents (incl. the maxpool floor-truncation cases), to float
+    precision — the evaluator's bucketing must not move the metric."""
+    import jax.numpy as jnp
+
+    from transhuman_tpu.models.lpips import lpips_distance_masked
+
+    params = init_lpips_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    for (h, w) in [(33, 47), (32, 32), (61, 35), (40, 64)]:
+        x = rng.uniform(-1, 1, (2, h, w, 3)).astype(np.float32)
+        y = rng.uniform(-1, 1, (2, h, w, 3)).astype(np.float32)
+        ref = np.asarray(lpips_distance(params, x, y))
+        ph, pw = -(-h // 32) * 32, -(-w // 32) * 32
+        pad = ((0, 0), (0, ph - h), (0, pw - w), (0, 0))
+        got = np.asarray(
+            lpips_distance_masked(
+                params, np.pad(x, pad), np.pad(y, pad),
+                jnp.array([h, w], jnp.int32),
+            )
+        )
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-7,
+                                   err_msg=f"extent {(h, w)}")
+
+
+def test_evaluator_bucketed_lpips_path(tmp_path, rng):
+    """Evaluator pads crops and threads (h, w) through the masked fn; the
+    recorded metric equals the plain unpadded distance."""
+    from transhuman_tpu.evals import Evaluator
+    from transhuman_tpu.models.lpips import make_lpips_masked_fn
+
+    params = init_lpips_params(jax.random.PRNGKey(0))
+    fn = jax.jit(make_lpips_masked_fn(params))
+    ev = Evaluator(str(tmp_path), lpips_fn=fn, save_images=False)
+    h = w = 16
+    mask = np.ones(h * w, bool)
+    pred = rng.random((h * w, 3)).astype(np.float32)
+    gt = rng.random((h * w, 3)).astype(np.float32)
+    r = ev.evaluate_frame(pred, gt, mask, (h, w))
+    direct = float(
+        np.asarray(
+            lpips_distance(
+                params,
+                pred.reshape(1, h, w, 3) * 2 - 1,
+                gt.reshape(1, h, w, 3) * 2 - 1,
+            )
+        ).reshape(())
+    )
+    assert abs(r["lpips"] - direct) < 1e-5
+
+
 def test_evaluator_summary_loud_when_lpips_missing(tmp_path, rng):
     from transhuman_tpu.evals import Evaluator
 

@@ -108,10 +108,12 @@ def run_evaluate(cfg, pipe, model, smpl, dataset=None):
     params, epoch = load_params(model_dir(cfg), cfg.test.epoch)
     lpips_fn = None
     if cfg.lpips_weights:
-        from ..models.lpips import load_lpips_params, make_lpips_fn
+        from ..models.lpips import load_lpips_params, make_lpips_masked_fn
 
+        # masked/bucketed form: the Evaluator pads bbox crops to size
+        # buckets -> one compile per bucket, not one per frame shape
         lpips_fn = jax.jit(
-            make_lpips_fn(
+            make_lpips_masked_fn(
                 load_lpips_params(cfg.lpips_weights, backbone=cfg.lpips_backbone)
             )
         )

@@ -170,11 +170,15 @@ class Config:
     pad_bucket: int = 8192  # ray-count padding granularity for static shapes
     use_pallas_knn: bool = False  # fused Pallas DPaRF kernel (kernels/dparf.py;
     # measured slower than the XLA composition on v5e — see its docstring)
-    compact_ratio: Optional[float] = 0.5  # static-capacity compaction: decode
+    compact_ratio: Optional[float] = 0.3  # static-capacity compaction: decode
     # only culled-survivor points packed into ratio*N slots (the reference's
     # dynamic pts[mask] indexing, cross_transformer.py:229-242, as a static
-    # TPU program).  None disables; typical active fraction is ~20%, so 0.5
-    # leaves 2.5x headroom (renders report clipping via the overflow count)
+    # TPU program).  None disables.  Default justified by measurement:
+    # tools/measure_compact_ratio over varied synthetic poses reports a max
+    # prefilter-superset fraction of 0.19 (recommended 0.22 at 1.15x margin);
+    # 0.3 adds further headroom, and a clip is SAFE anyway — the CLI
+    # auto-re-renders the frame with compaction off on overflow (cli/run.py
+    # ::FrameRenderer).  Re-measure on your data with the tool.
     mesh_axis_data: int = 0  # data-parallel mesh size for training (0 = all
     # local devices, the reference's DDP-over-all-GPUs default)
     mesh_axis_rays: int = 1  # ray/sequence-parallel mesh size for inference

@@ -25,9 +25,18 @@ class Evaluator:
         ssim_data_range: float = 2.0,
         exp_name: str = "transhuman_tpu",
         epoch: int = -1,
+        lpips_bucket: int = 32,
     ):
+        """lpips_fn: with lpips_bucket > 0 (default) a masked 3-arg closure
+        (x, y, hw) -> (B,) (models.lpips.make_lpips_masked_fn): bbox crops
+        are zero-padded up to multiples of `lpips_bucket`, so the whole eval
+        compiles one program per size bucket instead of one per frame (the
+        per-frame crop shapes would each cost a 2-6 min tunnel compile).
+        The masked distance equals the unpadded one exactly (lpips.py).
+        lpips_bucket = 0 keeps the legacy 2-arg (x, y) per-shape call."""
         self.result_dir = result_dir
         self.lpips_fn = lpips_fn
+        self.lpips_bucket = lpips_bucket
         self.save_images = save_images
         self.ssim_data_range = ssim_data_range
         self.exp_name = exp_name
@@ -76,14 +85,20 @@ class Evaluator:
         # float default the reference's published numbers use)
         self.ssim_dr1.append(metrics.ssim(crop_pred, crop_gt, data_range=1.0))
         if self.lpips_fn is not None:
-            lp = float(
-                np.asarray(
-                    self.lpips_fn(
-                        crop_pred[None] * 2.0 - 1.0, crop_gt[None] * 2.0 - 1.0
-                    )
-                ).reshape(())
-            )
-            self.lpips.append(lp)
+            a = crop_pred[None] * 2.0 - 1.0
+            b = crop_gt[None] * 2.0 - 1.0
+            if self.lpips_bucket:
+                ch, cw = crop_pred.shape[:2]
+                bk = self.lpips_bucket
+                ph, pw = -(-ch // bk) * bk, -(-cw // bk) * bk
+                pad = ((0, 0), (0, ph - ch), (0, pw - cw), (0, 0))
+                lp = self.lpips_fn(
+                    np.pad(a, pad), np.pad(b, pad),
+                    np.array([ch, cw], np.int32),
+                )
+            else:
+                lp = self.lpips_fn(a, b)
+            self.lpips.append(float(np.asarray(lp).reshape(())))
 
         if self.save_images:
             hdir = os.path.join(self.result_dir, human)

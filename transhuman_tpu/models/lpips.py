@@ -90,6 +90,75 @@ def make_lpips_fn(params):
     return lambda x, y: lpips_distance(params, x, y)
 
 
+def _mask_hw(x, h, w):
+    """Zero activations at rows >= h / cols >= w (h, w may be traced)."""
+    r = jnp.arange(x.shape[1])[:, None] < h
+    c = jnp.arange(x.shape[2])[None, :] < w
+    return x * (r & c)[None, :, :, None].astype(x.dtype)
+
+
+def _vgg_stages_masked(params, x, h, w):
+    """_vgg_stages over a zero-padded (B,H,W,3) input whose valid region is
+    x[:, :h, :w].  Returns (stage activations, per-stage valid extents);
+    activations are EXACTLY those of the unpadded run on the valid extents
+    and zero outside:
+
+    - Zeroing outside the valid extent before every conv makes a same-pad
+      conv read the same zeros the unpadded run's boundary padding provides
+      (the contamination to kill is deeper: after conv+bias+relu the padded
+      region is no longer zero, so re-mask after every relu).
+    - 2x2/2 max-pool extents propagate as floor(h/2) — the same odd-size
+      truncation torch's MaxPool2d applies in the unpadded run; windows
+      with i < floor(h/2) read only valid rows, so values match exactly.
+    """
+    x = (x - _SHIFT) / _SCALE
+    x = _mask_hw(x, h, w)
+    outs, exts = [], []
+    for si, (n_convs, _) in enumerate(VGG16_STAGES):
+        for ci in range(n_convs):
+            wk = params[f"conv{si}_{ci}_w"]
+            b = params[f"conv{si}_{ci}_b"]
+            x = jax.lax.conv_general_dilated(
+                x, wk, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b
+            x = _mask_hw(jax.nn.relu(x), h, w)
+        outs.append(x)
+        exts.append((h, w))
+        if si < len(VGG16_STAGES) - 1:
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+            h, w = h // 2, w // 2
+            x = _mask_hw(x, h, w)
+    return outs, exts
+
+
+def lpips_distance_masked(params, x, y, hw):
+    """LPIPS over zero-padded inputs: x, y (B,H,W,3) in [-1,1] with the
+    valid crop at [:, :hw[0], :hw[1]]; returns (B,) distances EXACTLY equal
+    to `lpips_distance` on the unpadded crop (see _vgg_stages_masked).
+
+    This is what lets the evaluator pad per-frame bbox crops to a few size
+    buckets — one jit compile per bucket instead of one per frame
+    (lib/evaluators/if_nerf.py:39-119 recomputes eagerly per frame) —
+    without changing the metric."""
+    fx, exts = _vgg_stages_masked(params, x, hw[0], hw[1])
+    fy, _ = _vgg_stages_masked(params, y, hw[0], hw[1])
+    total = 0.0
+    for si, (gx, gy) in enumerate(zip(fx, fy)):
+        d = jnp.square(_unit_norm(gx) - _unit_norm(gy))  # zero off-extent
+        w = params[f"lin{si}"]
+        h_s, w_s = exts[si]
+        total = total + jnp.sum(d * w, axis=(1, 2, 3)) / (h_s * w_s)
+    return total
+
+
+def make_lpips_masked_fn(params):
+    """Closure (x, y, hw) -> distances (for the bucketed evaluator)."""
+    return lambda x, y, hw: lpips_distance_masked(params, x, y, hw)
+
+
 def load_lpips_params(path: str, backbone: str = ""):
     """Load a converted .npz weight file (tools/convert_lpips.py).
 

@@ -153,34 +153,33 @@ def _sfm_bwd(image_shape, res, g):
     w11 = wxf * wyf
 
     # d_feat: scatter-add 4 taps per point -> sort + sorted segment-sum.
-    # Tap payloads are the SAME (N, C) cotangent row scaled per tap, so the
-    # sorted gather reads the small (N, C) buffer by point index (tap-major
-    # layout: tap j covers point j % N) and applies the scalar weight after
-    # — the naive form materialized and re-gathered a (4N, C) product
-    # (2.8 GB f32 at train scale), 4x more HBM traffic for the same result.
-    n = x0i.shape[1]
-    ids = jnp.stack(
-        [
-            y0i * Wf + x0i,
-            y0i * Wf + jnp.minimum(x0i + 1, Wf - 1),
-            jnp.minimum(y0i + 1, Hf - 1) * Wf + x0i,
-            jnp.minimum(y0i + 1, Hf - 1) * Wf + jnp.minimum(x0i + 1, Wf - 1),
-        ],
-        axis=1,
-    ).reshape(V, -1)  # (V, 4N) tap-major
-    w_all = jnp.concatenate([w00, w01, w10, w11], axis=1)  # (V, 4N, 1)
+    # KEY STRUCTURE: x0i/y0i are pre-clamped to [0, Wf-2]/[0, Hf-2]
+    # (_sample_taps), so the four tap ids are EXACT constant shifts of the
+    # base id: {id0, id0+1, id0+Wf, id0+Wf+1}.  A constant shift preserves
+    # order, so ONE argsort of N ids serves all four taps (the previous
+    # tap-major form sorted 4N ids — the argsort alone was 42 ms at train
+    # scale) and the (N, C) cotangent rows are gathered ONCE (bf16, upcast
+    # after — exact) instead of four times; each tap then runs its own
+    # sorted segment-sum with the shifted ids.
+    base = y0i * Wf + x0i  # (V, N), max (Hf-2)*Wf + Wf-2
 
-    def per_view(i, g_rows, w_row):
+    def per_view(i, g_rows, w4):
         order = jnp.argsort(i)
-        # gather in the cotangent's own (usually bf16) dtype and upcast
-        # AFTER — the cast is exact, the gather traffic halves
-        rows = jnp.take(g_rows, order % n, axis=0).astype(jnp.float32)
-        v_s = rows * jnp.take(w_row, order, axis=0)
-        return jax.ops.segment_sum(
-            v_s, i[order], num_segments=Hf * Wf, indices_are_sorted=True
-        )
+        i_s = i[order]
+        rows = jnp.take(g_rows, order, axis=0).astype(jnp.float32)
+        acc = 0.0
+        for off, w in zip((0, 1, Wf, Wf + 1), w4):
+            acc = acc + jax.ops.segment_sum(
+                rows * jnp.take(w, order, axis=0),
+                i_s + off,
+                num_segments=Hf * Wf,
+                indices_are_sorted=True,
+            )
+        return acc
 
-    d_feat = jax.vmap(per_view)(ids, g, w_all).reshape(V, Hf, Wf, C)
+    d_feat = jax.vmap(per_view)(
+        base, g, (w00, w01, w10, w11)
+    ).reshape(V, Hf, Wf, C)
 
     # d_uv through the lerp weights (clip boundaries treated as interior;
     # the clamped set has measure zero)

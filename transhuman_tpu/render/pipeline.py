@@ -138,8 +138,8 @@ class RenderPipeline:
         # fixed capacity of compact_ratio * N slots (jnp.nonzero(size=...))
         # and the raw outputs scattered back.  Masked points produce raw=0
         # either way, so outputs are identical as long as the capacity holds
-        # (typical cull keeps ~20%; ratio 0.5 leaves 2.5x headroom — the
-        # returned "overflow" count says if it ever clips).
+        # (measure with tools/measure_compact_ratio; the returned "overflow"
+        # count says if it ever clips, and the CLI then re-renders dense).
         self.compact_ratio = compact_ratio
         self.use_pallas_cull = False  # XLA's blocked scan is VPU-bound and on par
         self.cull_distance = cull_distance
@@ -421,7 +421,10 @@ class RenderPipeline:
             raw = self.query_points(
                 params, frame, pro, flat_pts, c_vde_b, mask, allow_pallas=True
             )
-            return raw.reshape(cr, s, 4).astype(jnp.float32)
+            # keep the model's compute dtype through the lax.map stacking;
+            # composite upcasts to f32 inside its elementwise ops (bitwise
+            # identical, half the HBM traffic in bf16 mode)
+            return raw.reshape(cr, s, 4)
 
         chunks = (
             pts.reshape(n_chunks, cr, s, 3),
@@ -470,8 +473,9 @@ class RenderPipeline:
         idx, valid, safe, n_active, m = self._compact_plan(
             frame, flat, jnp.repeat(rays.mask, s), cp
         )
-        c_pts = flat[safe]
-        c_vde = vde[safe // s]  # safe <= n-1, so safe // s <= r-1
+        c_pts = flat.at[safe].get(indices_are_sorted=True)
+        # safe <= n-1, so safe // s <= r-1 (and stays nondecreasing)
+        c_vde = vde.at[safe // s].get(indices_are_sorted=True)
 
         def chunk_body(chunk):
             pts_c, vde_c, valid_c = chunk
@@ -480,7 +484,7 @@ class RenderPipeline:
                 params, frame, pro, pts_c, vde_c, valid_c & exact,
                 allow_pallas=True,
             )
-            return raw.astype(jnp.float32)
+            return raw  # native dtype; composite upcasts (see dense path)
 
         raw_c = jax.lax.map(
             chunk_body,
@@ -490,8 +494,12 @@ class RenderPipeline:
                 valid.reshape(-1, cp),
             ),
         ).reshape(m, 4)
+        # idx is ascending (nonzero) with the padding fill (= n, dropped) at
+        # the tail — telling XLA it's sorted lets the scatter vectorize
         raw = (
-            jnp.zeros((n, 4), jnp.float32).at[idx].set(raw_c, mode="drop")
+            jnp.zeros((n, 4), raw_c.dtype)
+            .at[idx]
+            .set(raw_c, mode="drop", indices_are_sorted=True)
         )
 
         out = composite(
@@ -533,7 +541,7 @@ class RenderPipeline:
         idx, valid, safe, n_active, m = self._compact_plan(
             frame, pts_world, pts_mask, cp
         )
-        c_pts_all = pts_world[safe]
+        c_pts_all = pts_world.at[safe].get(indices_are_sorted=True)
 
         def chunk_body(chunk):
             c_pts, c_valid = chunk
@@ -548,7 +556,11 @@ class RenderPipeline:
             chunk_body,
             (c_pts_all.reshape(-1, cp, 3), valid.reshape(-1, cp)),
         ).reshape(m)
-        sigma = jnp.zeros((n,), jnp.float32).at[idx].set(sig_c, mode="drop")
+        sigma = (
+            jnp.zeros((n,), jnp.float32)
+            .at[idx]
+            .set(sig_c, mode="drop", indices_are_sorted=True)
+        )
         return sigma, jnp.maximum(n_active - m, 0).reshape(1)
 
     def render_sigma_dense(self, params, frame: FrameInputs, pts_world, pts_mask):

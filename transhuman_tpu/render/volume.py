@@ -92,8 +92,13 @@ def composite(
         [dists, jnp.full_like(dists[:, :1], 1e10)], axis=-1
     ) * jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
 
-    rgb = jax.nn.sigmoid(raw[..., :3])
-    sigma = raw[..., 3]
+    # raw may arrive in the model's compute dtype (bf16): storing bf16 and
+    # upcasting here is bitwise-identical to upcasting at the chunk
+    # boundary (the values were bf16 either way) but halves the
+    # scatter-back + composite HBM traffic; the compositing math itself
+    # (sigmoid/exp/cumprod) stays f32
+    rgb = jax.nn.sigmoid(raw[..., :3].astype(jnp.float32))
+    sigma = raw[..., 3].astype(jnp.float32)
     if raw_noise_std > 0.0 and rng is not None:
         sigma = sigma + jax.random.normal(rng, sigma.shape, sigma.dtype) * raw_noise_std
 

@@ -66,8 +66,128 @@ def _set(tree: Dict, path, value):
     node[path[-1]] = np.asarray(value, np.float32)
 
 
-def convert_state_dict(sd: Dict[str, "np.ndarray"]) -> Dict:
-    """sd: reference state_dict (tensors or ndarrays) -> {'params': {...}}."""
+def official_key_inventory(vit_depth: int = 12) -> Dict[str, tuple]:
+    """The COMPLETE state-dict key inventory of the reference `Network()`
+    (cross_transformer.py:84-128) at the official config's real shapes
+    (train_or_eval.yaml: vit_depth=12, embed_size=192, KNN_FREQ=10,
+    img_feat_size=256) — every tensor `torch.save` would emit, including the
+    modules this converter deliberately drops (xyzc_net.*, resnet layer3/4,
+    BN running stats, PE buffers).  This is the conversion drill's oracle:
+    `convert_state_dict(sd, strict=True)` over a state dict with exactly
+    these keys must succeed with zero unknown keys.
+
+    Print it with `python -m transhuman_tpu.tools.convert_checkpoint
+    --expected_keys`.  spconv SubMConv3d/SparseConv3d weights are assumed in
+    spconv-2.x (out, kx, ky, kz, in) layout; they are dropped either way.
+    """
+    inv: Dict[str, tuple] = {}
+    d = 192  # vit_tiny embed dim (vision_transformer.py:404-406)
+
+    # --- ViT (vision_transformer.py:309-341; PE buffers :115-122)
+    inv["ViT.cls_token"] = (1, 1, d)
+    inv["ViT.mask_token"] = (1, 1, d)
+    inv["ViT.PE._freqs"] = (1, 2 * (d // 6), 1)
+    inv["ViT.PE._phases"] = (1, 2 * (d // 6), 1)
+    for i in range(vit_depth):
+        b = f"ViT.blocks.{i}"
+        inv[f"{b}.norm1.weight"] = (d,)
+        inv[f"{b}.norm1.bias"] = (d,)
+        inv[f"{b}.attn.qkv.weight"] = (3 * d, d)
+        inv[f"{b}.attn.qkv.bias"] = (3 * d,)
+        inv[f"{b}.attn.proj.weight"] = (d, d)
+        inv[f"{b}.attn.proj.bias"] = (d,)
+        inv[f"{b}.norm2.weight"] = (d,)
+        inv[f"{b}.norm2.bias"] = (d,)
+        inv[f"{b}.mlp.fc1.weight"] = (4 * d, d)
+        inv[f"{b}.mlp.fc1.bias"] = (4 * d,)
+        inv[f"{b}.mlp.fc2.weight"] = (d, 4 * d)
+        inv[f"{b}.mlp.fc2.bias"] = (d,)
+    inv["ViT.norm.weight"] = (d,)
+    inv["ViT.norm.bias"] = (d,)
+
+    # --- encoder: full torchvision resnet18 minus fc/avgpool (encoder.py:
+    # 77-84: `model.fc = nn.Sequential()`), plus the color/reduction convs
+    # and the unused PE_color buffers (encoder.py:93-97)
+    def bn(name, ch):
+        inv[f"{name}.weight"] = (ch,)
+        inv[f"{name}.bias"] = (ch,)
+        inv[f"{name}.running_mean"] = (ch,)
+        inv[f"{name}.running_var"] = (ch,)
+        inv[f"{name}.num_batches_tracked"] = ()
+
+    inv["encoder.model.conv1.weight"] = (64, 3, 7, 7)
+    bn("encoder.model.bn1", 64)
+    chans = {"layer1": (64, 64), "layer2": (64, 128),
+             "layer3": (128, 256), "layer4": (256, 512)}
+    for layer, (cin, cout) in chans.items():
+        for blk in range(2):
+            base = f"encoder.model.{layer}.{blk}"
+            c_in = cin if blk == 0 else cout
+            inv[f"{base}.conv1.weight"] = (cout, c_in, 3, 3)
+            bn(f"{base}.bn1", cout)
+            inv[f"{base}.conv2.weight"] = (cout, cout, 3, 3)
+            bn(f"{base}.bn2", cout)
+            if blk == 0 and cin != cout:  # layers 2-4 downsample
+                inv[f"{base}.downsample.0.weight"] = (cout, c_in, 1, 1)
+                bn(f"{base}.downsample.1", cout)
+    inv["encoder.reduction_layer.weight"] = (d, 256 + 128, 1, 1)
+    inv["encoder.reduction_layer.bias"] = (d,)
+    inv["encoder.PE_color._freqs"] = (1, 20, 1)
+    inv["encoder.PE_color._phases"] = (1, 20, 1)
+    inv["encoder.upsample_color.weight"] = (128, 3, 1, 1)
+    inv["encoder.upsample_color.bias"] = (128,)
+
+    # --- cross-attention key/value embeds (cross_transformer.py:31-40)
+    for i in (0, 1):
+        inv[f"spatial_key_value_{i}.key_embed.weight"] = (128, 256, 1)
+        inv[f"spatial_key_value_{i}.key_embed.bias"] = (128,)
+        inv[f"spatial_key_value_{i}.value_embed.weight"] = (256, 256, 1)
+        inv[f"spatial_key_value_{i}.value_embed.bias"] = (256,)
+
+    # --- xyzc_net SparseConvNet, dead code but serialized
+    # (cross_transformer.py:355-372; helper convs :440-500)
+    def sp_bn(name, ch):
+        bn(name, ch)
+
+    def sp_seq(base, cin, cout, n_convs):
+        # SparseSequential indices: conv at 0/3/6, BN at 1/4/7 (ReLU empty)
+        for j in range(n_convs):
+            c = cin if j == 0 else cout
+            inv[f"{base}.{3 * j}.weight"] = (cout, 3, 3, 3, c)
+            sp_bn(f"{base}.{3 * j + 1}", cout)
+
+    sp_seq("xyzc_net.conv0", d, 64, 2)
+    sp_seq("xyzc_net.down0", 64, 64, 1)
+    sp_seq("xyzc_net.conv1", 64, 64, 2)
+    sp_seq("xyzc_net.down1", 64, 64, 1)
+    sp_seq("xyzc_net.conv2", 64, 64, 3)
+    sp_seq("xyzc_net.down2", 64, 128, 1)
+    sp_seq("xyzc_net.conv3", 128, 128, 3)
+    sp_seq("xyzc_net.down3", 128, 128, 1)
+    sp_seq("xyzc_net.conv4", 128, 128, 3)
+
+    # --- DPaRF PE buffers + the NeRF head Conv1ds
+    # (cross_transformer.py:107-128; KNN_FREQ=10 -> fc_0 in = 192+63)
+    inv["PE_relative._freqs"] = (1, 20, 1)
+    inv["PE_relative._phases"] = (1, 20, 1)
+    heads = {
+        "fc_0": (256, d + 63), "fc_1": (256, 256), "fc_2": (256, 256),
+        "alpha_fc": (1, 256), "feature_fc": (256, 256),
+        "view_fc": (128, 283), "rgb_fc": (3, 128), "fc_3": (256, 256),
+        "fc_4": (128, 128), "alpha_res_0": (256, 384),
+        "rgb_res_0": (256, 384), "rgb_res_1": (128, 384),
+    }
+    for name, (o, i) in heads.items():
+        inv[f"{name}.weight"] = (o, i, 1)
+        inv[f"{name}.bias"] = (o,)
+    return inv
+
+
+def convert_state_dict(sd: Dict[str, "np.ndarray"], strict: bool = False) -> Dict:
+    """sd: reference state_dict (tensors or ndarrays) -> {'params': {...}}.
+
+    strict=True raises on any key that is neither mapped nor on the
+    documented drop list (the official-checkpoint drill)."""
     sd = {
         re.sub(r"^(module\.|net\.)+", "", k): np.asarray(
             v.detach().cpu().numpy() if hasattr(v, "detach") else v
@@ -170,6 +290,11 @@ def convert_state_dict(sd: Dict[str, "np.ndarray"]) -> Dict:
         else:
             unknown.append(k)
     if unknown:
+        if strict:
+            raise ValueError(
+                f"{len(unknown)} keys neither mapped nor on the drop list: "
+                f"{unknown[:10]}"
+            )
         print(f"WARNING: {len(unknown)} unmapped keys, e.g. {unknown[:5]}")
     return {"params": params}
 
@@ -199,8 +324,12 @@ def main(argv=None):
     import pickle
 
     p = argparse.ArgumentParser()
-    p.add_argument("input")
-    p.add_argument("output")
+    p.add_argument("--expected_keys", action="store_true",
+                   help="print the complete official-checkpoint key "
+                        "inventory (key: shape) and exit")
+    p.add_argument("--vit_depth", type=int, default=12)
+    p.add_argument("input", nargs="?")
+    p.add_argument("output", nargs="?")
     p.add_argument("--smpl_dir", default=None,
                    help="SMPL model dir; with --kmeans, also store the "
                         "reference-exact TransHE PE table")
@@ -208,6 +337,13 @@ def main(argv=None):
     p.add_argument("--embed_dim", type=int, default=192)
     p.add_argument("--pe_box", type=float, default=1.5)
     args = p.parse_args(argv)
+
+    if args.expected_keys:
+        for k, shape in official_key_inventory(args.vit_depth).items():
+            print(f"{k}: {tuple(shape)}")
+        return 0
+    if not args.input or not args.output:
+        p.error("input and output are required unless --expected_keys")
 
     import torch
 
