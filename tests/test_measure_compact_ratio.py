@@ -28,7 +28,7 @@ def test_counts_match_compact_plan(setup):  # noqa: F811
                                c.n_samples)
     flat = pts.reshape(-1, 3)
     cp = c.chunk_rays * c.n_samples
-    _, _, _, n_active, _ = c._compact_plan(
+    _, _, _, n_active, _, _ = c._compact_plan(
         frame, flat, jnp.repeat(rays.mask, c.n_samples), cp
     )
     assert int(sup) == int(n_active)

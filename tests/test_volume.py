@@ -63,3 +63,81 @@ def test_truncation_masking(rng):
     tokens = jnp.asarray(rng.standard_normal((2, 12, 8)).astype(np.float32))
     _, keep = dparf_representation(pts, centers, rot, tokens, k=3, knn_sigma=0.25)
     assert np.asarray(keep)[:4].all() and not np.asarray(keep)[4:].any()
+
+def test_segmented_excl_prod_matches_loop(rng):
+    """Two-level blocked segmented scan == a host reference loop, across
+    row-boundary / long-segment / padding (M % 128 != 0) cases."""
+    from transhuman_tpu.render.volume import segmented_excl_prod
+
+    for M, max_seg in [(1000, 7), (4096, 300), (515, 2)]:
+        seg = np.sort(rng.integers(0, max_seg, M)).astype(np.int32)
+        v = rng.uniform(0.2, 1.0, M).astype(np.float32)
+        ref = np.ones(M, np.float64)
+        run = 1.0
+        for i in range(M):
+            if i == 0 or seg[i] != seg[i - 1]:
+                run = 1.0
+            ref[i] = run
+            run *= v[i]
+        got = np.asarray(
+            jax.jit(segmented_excl_prod)(jnp.asarray(v), jnp.asarray(seg))
+        )
+        # atol floor: long segments drive the f64 host reference into
+        # values below f32 underflow, where the device (like the dense
+        # cumprod path) flushes to 0
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-30)
+
+
+def test_blocked_cumsum_i32_exact(rng):
+    from transhuman_tpu.render.volume import blocked_cumsum_i32
+
+    for M in (130, 4096, 777):
+        q = rng.integers(-(1 << 20), 1 << 20, (M, 3)).astype(np.int32)
+        ref = np.cumsum(q, axis=0, dtype=np.int32)  # wraps like int32
+        got = np.asarray(jax.jit(blocked_cumsum_i32)(jnp.asarray(q)))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_composite_stream_matches_dense(rng):
+    """composite_stream over a compacted stream == dense composite when the
+    dropped samples carry sigma -> alpha == 0."""
+    from transhuman_tpu.render.volume import composite_stream
+
+    R, S = 13, 16
+    raw = rng.standard_normal((R, S, 4)).astype(np.float32)
+    keep = rng.random((R, S)) < 0.4
+    raw[..., 3] = np.where(keep, raw[..., 3], -100.0)  # culled -> alpha ~ 0
+    near = rng.uniform(1.0, 1.5, R).astype(np.float32)
+    far = near + rng.uniform(0.5, 1.0, R).astype(np.float32)
+    t = np.linspace(0, 1, S, dtype=np.float32)
+    z = near[:, None] * (1 - t) + far[:, None] * t
+    rd = rng.standard_normal((R, 3)).astype(np.float32)
+    dense = composite(jnp.asarray(raw), jnp.asarray(z), jnp.asarray(rd), False)
+
+    # build the stream: keep-only entries, ray-then-sample order (plus a
+    # couple of padding slots at the tail with sigma=0 -> must be inert)
+    ridx, sidx = np.nonzero(keep)
+    pad = 5
+    raw_c = np.concatenate([raw[ridx, sidx], np.zeros((pad, 4), np.float32)])
+    seg = np.concatenate([ridx, np.full(pad, R - 1)]).astype(np.int32)
+    z_c = np.concatenate([z[ridx, sidx], np.ones(pad, np.float32)])
+    rdn = np.linalg.norm(rd, axis=1)
+    d = (far - near) / (S - 1)
+    dist_c = np.where(sidx == S - 1, 1e10, d[ridx]) * rdn[ridx]
+    dist_c = np.concatenate([dist_c, np.ones(pad, np.float32)])
+    counts = keep.sum(1)
+    ends = np.cumsum(counts).astype(np.int32)
+    starts = (ends - counts).astype(np.int32)
+    fs = np.concatenate([far[ridx], np.ones(pad, np.float32)])
+    out = composite_stream(
+        jnp.asarray(raw_c), jnp.asarray(seg), jnp.asarray(z_c),
+        jnp.asarray(dist_c), jnp.asarray(starts), jnp.asarray(ends), R,
+        depth_scale=jnp.asarray(1.0 / fs),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["rgb_map"]), np.asarray(dense["rgb_map"]), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["acc_map"]), np.asarray(dense["acc_map"]), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["depth_map"]) * far,
+        np.asarray(dense["depth_map"]), atol=5e-5)

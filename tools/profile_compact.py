@@ -97,7 +97,7 @@ if "parts" in variants:
         c.prologue(params, frame)
         pts, z = sample_along_rays(rays.ray_o, rays.ray_d, rays.near, rays.far, c.n_samples)
         flat = pts.reshape(-1, 3)
-        idx, _, _, _, _ = c._compact_plan(
+        idx, _, _, _, _, _ = c._compact_plan(
             frame, flat, jnp.ones((flat.shape[0],), bool), cp
         )
         return idx

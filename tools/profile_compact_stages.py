@@ -1,8 +1,8 @@
-"""Stage ablation of the COMPACT render path at bench scale (65536 rays x
-64 samples, ratio 0.1875, bf16): plan / gather / decode / scatter-back /
-composite, plus sorted-vs-unsorted A/B for the compaction gather+scatter.
-One jit per ablation, big tensors as args, forced scalar readback
-(CLAUDE.md tunnel rules)."""
+"""Stage ablation of the COMPACT render path (stream-composite form) at
+bench scale (65536 rays x 64 samples, ratio 0.1875, bf16).
+One jit per ablation, big tensors as args, forced scalar readback.
+Stage costs = differences between consecutive rows (each row carries the
+same ~25 ms tunnel dispatch)."""
 import time
 
 import jax
@@ -13,7 +13,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from transhuman_tpu.render.pipeline import to_smpl, embed_viewdir  # noqa: E402
-from transhuman_tpu.render.volume import composite, sample_along_rays  # noqa: E402
+from transhuman_tpu.render.volume import composite_stream, sample_along_rays  # noqa: E402
 from transhuman_tpu.testing import init_params, synthetic_rays, synthetic_setup  # noqa: E402
 
 N_RAYS, S, CR = 65536, 64, 512
@@ -45,88 +45,83 @@ m = -(-int(RATIO * n) // cp) * cp
 
 
 def plan(params, frame, rays):
-    pts, z_vals = sample_along_rays(rays.ray_o, rays.ray_d, rays.near,
-                                    rays.far, S)
+    pts, _ = sample_along_rays(rays.ray_o, rays.ray_d, rays.near,
+                               rays.far, S)
     flat = pts.reshape(n, 3)
-    idx, valid, safe, n_active, _ = pipe._compact_plan(
-        frame, flat, jnp.repeat(rays.mask, S), cp)
-    return pts, z_vals, flat, idx, valid, safe, n_active
+    return pipe._compact_plan(frame, flat, jnp.repeat(rays.mask, S), cp)
 
 
 def stage_plan(params, frame, rays):
-    *_, n_active = plan(params, frame, rays)
-    return n_active
+    return plan(params, frame, rays)[3]
 
 
-def make_gather(sorted_flag):
-    def f(params, frame, rays):
-        pts, z_vals, flat, idx, valid, safe, _ = plan(params, frame, rays)
-        viewdir = rays.ray_d / jnp.linalg.norm(rays.ray_d, axis=-1,
-                                               keepdims=True)
-        vde = embed_viewdir(viewdir)
-        if sorted_flag:
-            c_pts = flat.at[safe].get(indices_are_sorted=True)
-            c_vde = vde.at[safe // S].get(indices_are_sorted=True)
-        else:
-            c_pts = flat[safe]
-            c_vde = vde[safe // S]
-        return c_pts.sum() + c_vde.sum()
-    return f
+def inputs_core(params, frame, rays):
+    idx, valid, safe, n_active, _, mask = plan(params, frame, rays)
+    viewdir = rays.ray_d / jnp.linalg.norm(rays.ray_d, axis=-1, keepdims=True)
+    vde = embed_viewdir(viewdir)
+    counts = jnp.sum(mask.reshape(N_RAYS, S), axis=1, dtype=jnp.int32)
+    ends = jnp.cumsum(counts)
+    starts = jnp.minimum(ends - counts, m)
+    ends = jnp.minimum(ends, m)
+    ray_idx = safe // S
+    s_idx = (safe % S).astype(jnp.float32)
+    rdn = jnp.linalg.norm(rays.ray_d, axis=-1, keepdims=True)
+    table = jnp.concatenate(
+        [rays.ray_o, rays.ray_d, rays.near[:, None], rays.far[:, None],
+         rdn, vde], axis=1)
+    rt = table.at[ray_idx].get(indices_are_sorted=True)
+    ro, rd, near_c, far_c, rdn_c, c_vde = (
+        rt[:, 0:3], rt[:, 3:6], rt[:, 6], rt[:, 7], rt[:, 8], rt[:, 9:36])
+    tfrac = s_idx / (S - 1)
+    z = near_c * (1.0 - tfrac) + far_c * tfrac
+    c_pts = ro + rd * z[:, None]
+    return (c_pts, c_vde, valid, z, near_c, far_c, rdn_c, s_idx, ray_idx,
+            starts, ends)
+
+
+def stage_inputs(params, frame, rays):
+    c = inputs_core(params, frame, rays)
+    return c[0].sum() + c[1].sum()
 
 
 def decode_core(params, frame, rays):
-    """plan + gather + prologue + chunked decode; returns raw_c and plan."""
-    pts, z_vals, flat, idx, valid, safe, _ = plan(params, frame, rays)
+    (c_pts, c_vde, valid, z, near_c, far_c, rdn_c, s_idx, ray_idx,
+     starts, ends) = inputs_core(params, frame, rays)
     pro = pipe.prologue(params, frame)
-    viewdir = rays.ray_d / jnp.linalg.norm(rays.ray_d, axis=-1, keepdims=True)
-    vde = embed_viewdir(viewdir)
-    c_pts = flat.at[safe].get(indices_are_sorted=True)
-    c_vde = vde.at[safe // S].get(indices_are_sorted=True)
 
     def chunk_body(chunk):
         pts_c, vde_c, valid_c = chunk
         exact = pipe._cull(to_smpl(frame, pts_c), frame.tar_verts_smpl)
-        raw = pipe.query_points(params, frame, pro, pts_c, vde_c,
-                                valid_c & exact, allow_pallas=True)
-        return raw
+        return pipe.query_points(params, frame, pro, pts_c, vde_c,
+                                 valid_c & exact, allow_pallas=True)
 
     raw_c = jax.lax.map(
         chunk_body,
         (c_pts.reshape(-1, cp, 3), c_vde.reshape(-1, cp, c_vde.shape[-1]),
          valid.reshape(-1, cp)),
     ).reshape(m, 4)
-    return raw_c, idx, z_vals
+    return raw_c, z, near_c, far_c, rdn_c, s_idx, ray_idx, starts, ends
 
 
 def stage_decode(params, frame, rays):
-    raw_c, _, _ = decode_core(params, frame, rays)
+    raw_c, *_ = decode_core(params, frame, rays)
     return raw_c.astype(jnp.float32).sum()
 
 
-def make_scatter(sorted_flag, dtype):
-    def f(params, frame, rays):
-        raw_c, idx, _ = decode_core(params, frame, rays)
-        raw = (jnp.zeros((n, 4), dtype).at[idx]
-               .set(raw_c.astype(dtype), mode="drop",
-                    indices_are_sorted=sorted_flag))
-        return raw.astype(jnp.float32).sum()
-    return f
-
-
 def stage_full(params, frame, rays):
-    raw_c, idx, z_vals = decode_core(params, frame, rays)
-    raw = (jnp.zeros((n, 4), raw_c.dtype).at[idx]
-           .set(raw_c, mode="drop", indices_are_sorted=True))
-    out = composite(raw.reshape(N_RAYS, S, 4), z_vals, rays.ray_d, False)
+    (raw_c, z, near_c, far_c, rdn_c, s_idx, ray_idx,
+     starts, ends) = decode_core(params, frame, rays)
+    dists = jnp.where(s_idx == S - 1, 1e10, (far_c - near_c) / (S - 1))
+    out = composite_stream(raw_c, ray_idx, z, dists * rdn_c, starts, ends,
+                           N_RAYS, depth_scale=1.0 / jnp.maximum(far_c, 1e-9))
     return out["rgb_map"].sum()
 
 
 print(f"plan            {t(jax.jit(stage_plan), params, frame, rays)*1e3:8.1f} ms", flush=True)
-print(f"plan+gather srt {t(jax.jit(make_gather(True)), params, frame, rays)*1e3:8.1f} ms", flush=True)
-print(f"plan+gather uns {t(jax.jit(make_gather(False)), params, frame, rays)*1e3:8.1f} ms", flush=True)
-print(f"decode          {t(jax.jit(stage_decode), params, frame, rays)*1e3:8.1f} ms", flush=True)
-print(f"+scatter bf16 s {t(jax.jit(make_scatter(True, jnp.bfloat16)), params, frame, rays)*1e3:8.1f} ms", flush=True)
-print(f"+scatter bf16 u {t(jax.jit(make_scatter(False, jnp.bfloat16)), params, frame, rays)*1e3:8.1f} ms", flush=True)
-print(f"+scatter f32  s {t(jax.jit(make_scatter(True, jnp.float32)), params, frame, rays)*1e3:8.1f} ms", flush=True)
-print(f"full(+composite){t(jax.jit(stage_full), params, frame, rays)*1e3:8.1f} ms", flush=True)
+print(f"+packed inputs  {t(jax.jit(stage_inputs), params, frame, rays)*1e3:8.1f} ms", flush=True)
+print(f"+decode         {t(jax.jit(stage_decode), params, frame, rays)*1e3:8.1f} ms", flush=True)
+print(f"+stream composite{t(jax.jit(stage_full), params, frame, rays)*1e3:7.1f} ms", flush=True)
 print(f"render_frame    {t(jax.jit(pipe.render_frame), params, frame, rays)*1e3:8.1f} ms", flush=True)
+
+# decode internals: prologue alone, and decode with pixel-gather disabled
+print(f"prologue        {t(jax.jit(pipe.prologue), params, frame)*1e3:8.1f} ms", flush=True)

@@ -39,7 +39,7 @@ from ..geometry.clusters import ClusterSpec, normalize_positions
 from ..models.embedder import embed_viewdir
 from ..ops.knn import min_dist
 from ..ops.sampling import project_points, sample_feature_map
-from .volume import composite, sample_along_rays
+from .volume import composite, composite_stream, sample_along_rays
 
 
 @struct.dataclass
@@ -255,7 +255,7 @@ class RenderPipeline:
         (idx,) = jnp.nonzero(mask, size=m, fill_value=n)  # ascending, pad=n
         valid = idx < n
         safe = jnp.minimum(idx, n - 1)
-        return idx, valid, safe, n_active, m
+        return idx, valid, safe, n_active, m, mask
 
     def _cull(self, pts_smpl, verts_smpl):
         """SMPL-proximity mask (dist < cull_distance); fused Pallas kernel
@@ -450,9 +450,19 @@ class RenderPipeline:
         cull mask is computed for every sample point first, the survivors are
         packed into capacity M = compact_ratio * R * S (rounded up to whole
         decode chunks), only those run the gather/DPaRF/heads decode, and the
-        raw values scatter back.  Returns the render_frame maps plus
-        "overflow" — how many active points exceeded capacity (0 in any
-        healthy run; >0 means rgb holes, raise compact_ratio)."""
+        compositing runs DIRECTLY over the compacted stream (volume.py::
+        composite_stream).  Returns the render_frame maps plus "overflow" —
+        how many active points exceeded capacity (0 in any healthy run;
+        >0 means rgb holes; the CLI auto-re-renders dense).
+
+        Descriptor economics (v5e, bench scale m = 786k): per-point row
+        gathers/scatters cost ~35-45 ns EACH regardless of row size, so the
+        round-2 form paid ~97 ms in pure descriptor tax (12 B pts gather +
+        108 B vde gather + 8 B raw scatter-back per point).  This form pays
+        ONE packed 144 B per-ray-row gather (~10 ms) and reduces per ray via
+        exact int32 fixed-point prefix-sum differences whose offsets come
+        FREE from the dense pre-compaction mask (counts -> cumsum — regular
+        ops, no descriptors)."""
         r = rays.ray_o.shape[0]
         s = self.n_samples
         n = r * s
@@ -461,7 +471,7 @@ class RenderPipeline:
         pro = self.prologue(params, frame)
         viewdir = rays.ray_d / jnp.linalg.norm(rays.ray_d, axis=-1, keepdims=True)
         vde = embed_viewdir(viewdir)  # (R, 27)
-        pts, z_vals = sample_along_rays(
+        pts, _ = sample_along_rays(
             rays.ray_o, rays.ray_d, rays.near, rays.far, s
         )
         flat = pts.reshape(n, 3)
@@ -470,12 +480,31 @@ class RenderPipeline:
         # clusters + per-cluster bounding radii picks the compaction superset
         # (nothing the exact cull keeps is lost); the exact 6890-vert
         # min-dist then runs only inside the compacted decode chunks
-        idx, valid, safe, n_active, m = self._compact_plan(
+        idx, valid, safe, n_active, m, mask = self._compact_plan(
             frame, flat, jnp.repeat(rays.mask, s), cp
         )
-        c_pts = flat.at[safe].get(indices_are_sorted=True)
-        # safe <= n-1, so safe // s <= r-1 (and stays nondecreasing)
-        c_vde = vde.at[safe // s].get(indices_are_sorted=True)
+        # per-ray stream offsets from the DENSE mask structure — no gathers
+        counts = jnp.sum(mask.reshape(r, s), axis=1, dtype=jnp.int32)
+        ends = jnp.cumsum(counts)
+        starts = jnp.minimum(ends - counts, m)
+        ends = jnp.minimum(ends, m)  # overflow rays lose their tail (holes)
+
+        ray_idx = safe // s  # (m,) nondecreasing
+        s_idx = (safe % s).astype(jnp.float32)
+        # ONE packed per-ray row gather [ray_o, ray_d, near, far, |ray_d|,
+        # vde] replaces the separate flat-pts and vde row gathers
+        rdn = jnp.linalg.norm(rays.ray_d, axis=-1, keepdims=True)
+        table = jnp.concatenate(
+            [rays.ray_o, rays.ray_d, rays.near[:, None], rays.far[:, None],
+             rdn, vde], axis=1,
+        )  # (r, 36)
+        rt = table.at[ray_idx].get(indices_are_sorted=True)  # (m, 36)
+        ro, rd, near_c, far_c, rdn_c, c_vde = (
+            rt[:, 0:3], rt[:, 3:6], rt[:, 6], rt[:, 7], rt[:, 8], rt[:, 9:36]
+        )
+        tfrac = s_idx / (s - 1)
+        z = near_c * (1.0 - tfrac) + far_c * tfrac  # == sample_along_rays
+        c_pts = ro + rd * z[:, None]
 
         def chunk_body(chunk):
             pts_c, vde_c, valid_c = chunk
@@ -484,7 +513,7 @@ class RenderPipeline:
                 params, frame, pro, pts_c, vde_c, valid_c & exact,
                 allow_pallas=True,
             )
-            return raw  # native dtype; composite upcasts (see dense path)
+            return raw  # native dtype; composite upcasts
 
         raw_c = jax.lax.map(
             chunk_body,
@@ -494,22 +523,23 @@ class RenderPipeline:
                 valid.reshape(-1, cp),
             ),
         ).reshape(m, 4)
-        # idx is ascending (nonzero) with the padding fill (= n, dropped) at
-        # the tail — telling XLA it's sorted lets the scatter vectorize
-        raw = (
-            jnp.zeros((n, 4), raw_c.dtype)
-            .at[idx]
-            .set(raw_c, mode="drop", indices_are_sorted=True)
-        )
 
-        out = composite(
-            raw.reshape(r, s, 4), z_vals, rays.ray_d, self.white_bkgd
+        # stream composite: inactive/padding stream slots decode to raw = 0
+        # -> alpha = 0 -> no contribution and transmittance factor exactly 1,
+        # matching the dense path's masked samples bit-for-bit (1 - 0 + 1e-10
+        # rounds to 1.0f)
+        dists = jnp.where(s_idx == s - 1, 1e10, (far_c - near_c) / (s - 1))
+        far_safe = jnp.maximum(far_c, 1e-9)
+        out = composite_stream(
+            raw_c, ray_idx, z, dists * rdn_c, starts, ends, r,
+            white_bkgd=self.white_bkgd, depth_scale=1.0 / far_safe,
         )
         msk = rays.mask
         return {
             "rgb_map": out["rgb_map"] * msk[:, None],
             "acc_map": out["acc_map"] * msk,
-            "depth_map": out["depth_map"] * msk,
+            "depth_map": out["depth_map"]
+            * jnp.maximum(rays.far, 1e-9) * msk,  # undo the 1/far normalizer
             # (1,) not scalar: the ray-sharded wrapper (parallel/infer.py)
             # concatenates output leaves along axis 0 -> per-shard counts
             "overflow": jnp.maximum(n_active - m, 0).reshape(1),
@@ -538,7 +568,7 @@ class RenderPipeline:
         # same static-capacity compaction as _render_frame_compact; the
         # dense grid's active fraction (the 0.1 m shell around the body)
         # is far below the ray workload's, so the margin is generous
-        idx, valid, safe, n_active, m = self._compact_plan(
+        idx, valid, safe, n_active, m, _ = self._compact_plan(
             frame, pts_world, pts_mask, cp
         )
         c_pts_all = pts_world.at[safe].get(indices_are_sorted=True)

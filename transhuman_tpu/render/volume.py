@@ -73,6 +73,139 @@ def sample_pdf(bins, weights, n_samples: int, rng=None):
     return bin_lo + t * (bin_hi - bin_lo)
 
 
+def _seg_comb(l, r):
+    bl, vl = l
+    br, vr = r
+    return bl | br, jnp.where(br, vr, vl * vr)
+
+
+def segmented_excl_prod(v, seg_id, row: int = 128):
+    """Exclusive product of ``v`` within runs of equal ``seg_id`` (both (M,),
+    seg_id nondecreasing): out[i] = prod(v[j] for j in segment(i), j < i).
+
+    TPU shape: a long single-axis scan lowers poorly (measured ~33 ms at
+    M=786k), so this runs two levels of associative_scan — an in-row scan
+    along the minor axis of (M/row, row), vectorized across sublanes, plus a
+    (M/row,)-length carry scan — measured sub-ms at the same M.
+    Inputs are padded up to a multiple of ``row`` internally.
+    """
+    m = v.shape[0]
+    pad = (-m) % row
+    if pad:
+        # padding continues the last segment with factor-1 elements; their
+        # outputs are sliced off at return
+        v = jnp.concatenate([v, jnp.ones((pad,), v.dtype)])
+        seg_id = jnp.concatenate(
+            [seg_id, jnp.broadcast_to(seg_id[-1], (pad,))]
+        )
+    k = v.shape[0] // row
+    v2 = v.reshape(k, row)
+    rid = seg_id.reshape(k, row)
+    prev_last = jnp.concatenate([jnp.full((1,), -1, rid.dtype), rid[:-1, -1]])
+    b = jnp.concatenate(
+        [(rid[:, 0] != prev_last)[:, None], rid[:, 1:] != rid[:, :-1]],
+        axis=1,
+    )  # real segment boundaries, including across row edges
+    # in-row exclusive product: v shifted right within the row; element 0
+    # starts at 1 (factors from previous rows arrive via the carry)
+    vs = jnp.concatenate(
+        [jnp.ones((k, 1), v2.dtype), jnp.where(b[:, 1:], 1.0, v2[:, :-1])],
+        axis=1,
+    )
+    _, local = jax.lax.associative_scan(_seg_comb, (b, vs), axis=1)
+
+    # carry = product over the open segment entering each row: a k-length
+    # segmented scan over (row-has-boundary, row-tail-product), shifted
+    tail = local[:, -1] * v2[:, -1]  # product since the row's last boundary
+    hasb = jnp.any(b, axis=1)
+    f_s = jnp.concatenate([jnp.ones((1,), bool), hasb[:-1]])
+    t_s = jnp.concatenate([jnp.ones((1,), tail.dtype), tail[:-1]])
+    _, carry = jax.lax.associative_scan(_seg_comb, (f_s, t_s))
+    # the carry multiplies only elements still in the row's open first
+    # segment (no boundary at or before them)
+    open_seg = jnp.cumsum(b.astype(jnp.int32), axis=1) == 0
+    out = jnp.where(open_seg, local * carry[:, None], local)
+    return out.reshape(-1)[:m]
+
+
+def blocked_cumsum_i32(q, row: int = 128):
+    """Inclusive cumsum along axis 0 of (M, C) int32 with two's-complement
+    wraparound, via (M/row, row, C) blocking (jnp.cumsum over one long axis
+    measured ~30 ms at M=786k; this form ~1 ms).  Pads internally."""
+    m, c = q.shape
+    pad = (-m) % row
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros((pad, c), q.dtype)])
+    x = q.reshape(-1, row, c)
+    within = jnp.cumsum(x, axis=1)
+    row_tot = within[:, -1, :]
+    offs = jnp.cumsum(row_tot, axis=0) - row_tot  # exclusive row offsets
+    return (within + offs[:, None, :]).reshape(-1, c)[:m]
+
+
+def composite_stream(
+    raw_c,
+    seg_id,
+    z,
+    dists,
+    starts,
+    ends,
+    n_rays: int,
+    white_bkgd: bool = False,
+    depth_scale=None,
+    fp_bits: int = 28,
+):
+    """NeRF compositing directly over a COMPACTED sample stream — no
+    scatter-back into the dense (R*S, 4) grid (the scatter alone measured
+    ~35 ms at bench scale; this whole composite is ~4 ms):
+
+    raw_c: (M, 4) decoded [rgb_logits, sigma], ray-then-sample ordered
+           (masked/padding entries must carry sigma <= 0 so alpha == 0);
+    seg_id: (M,) nondecreasing ray index per stream element;
+    z, dists: (M,) per-element depth and integration distance;
+    starts/ends: (R,) stream offsets of each ray's run, from the dense
+           pre-compaction mask (counts -> cumsum; no gathers needed), both
+           clamped to [0, M] (overflow rays lose their tail, reported by the
+           caller's overflow counter);
+    depth_scale: (M,) optional normalizer so w*z*depth_scale stays in [0,1]
+           per element (pass 1/far); the caller multiplies the depth map
+           back.  Per-ray reductions use EXACT modular int32 fixed-point
+           prefix-sum differences (every channel is bounded by 1 per element
+           and ~1 per ray, so 2^fp_bits scaling cannot overflow a segment
+           difference; wraparound of the global prefix is harmless).
+
+    Returns dict rgb_map (R,3), acc_map (R,), depth_map (R,) — depth still
+    multiplied by depth_scale; caller rescales.
+    Math parity: raw2outputs (nerf_net_utils.py:14-59) restricted to the
+    active samples (inactive samples contribute alpha == 0 there, exactly).
+    """
+    rawf = raw_c.astype(jnp.float32)
+    rgb = jax.nn.sigmoid(rawf[:, :3])
+    sigma = rawf[:, 3]
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
+    trans = segmented_excl_prod(1.0 - alpha + 1e-10, seg_id)
+    w = alpha * trans
+
+    zc = z * depth_scale if depth_scale is not None else z
+    chans = jnp.stack([w * rgb[:, 0], w * rgb[:, 1], w * rgb[:, 2], w, w * zc],
+                      axis=1)
+    scale = jnp.float32(2.0 ** fp_bits)
+    q = jnp.round(chans * scale).astype(jnp.int32)
+    csum0 = jnp.concatenate(
+        [jnp.zeros((1, 5), jnp.int32), blocked_cumsum_i32(q)], axis=0
+    )
+    hi = csum0.at[ends].get(indices_are_sorted=True)
+    lo = csum0.at[starts].get(indices_are_sorted=True)
+    seg = (hi - lo).astype(jnp.float32) * (1.0 / scale)
+
+    rgb_map = seg[:, :3]
+    acc_map = seg[:, 3]
+    depth_map = seg[:, 4]
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc_map[:, None])
+    return {"rgb_map": rgb_map, "acc_map": acc_map, "depth_map": depth_map}
+
+
 def composite(
     raw,
     z_vals,
