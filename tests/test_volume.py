@@ -141,3 +141,24 @@ def test_composite_stream_matches_dense(rng):
     np.testing.assert_allclose(
         np.asarray(out["depth_map"]) * far,
         np.asarray(dense["depth_map"]), atol=5e-5)
+
+
+def test_pack_bitmask_and_kth_bit(rng):
+    """pack_sample_bitmask + select_kth_set_bit reconstruct np.nonzero's
+    (row, col) pairs for every surviving sample, incl. S not a multiple
+    of 32 and rows with 0 or all survivors."""
+    from transhuman_tpu.render.volume import (
+        pack_sample_bitmask, select_kth_set_bit)
+
+    for s in (64, 48, 20, 33):
+        mask = rng.random((37, s)) < 0.3
+        mask[0] = False
+        mask[1] = True
+        words = np.asarray(pack_sample_bitmask(jnp.asarray(mask)))
+        assert words.shape == (37, (s + 31) // 32)
+        rows, cols = np.nonzero(mask)
+        counts = mask.sum(1)
+        k = np.concatenate([np.arange(c) for c in counts]).astype(np.int32)
+        got = np.asarray(
+            select_kth_set_bit(jnp.asarray(words[rows]), jnp.asarray(k)))
+        np.testing.assert_array_equal(got, cols.astype(np.int32))

@@ -39,7 +39,14 @@ from ..geometry.clusters import ClusterSpec, normalize_positions
 from ..models.embedder import embed_viewdir
 from ..ops.knn import min_dist
 from ..ops.sampling import project_points, sample_feature_map
-from .volume import composite, composite_stream, sample_along_rays
+from .volume import (
+    blocked_cumsum_i32,
+    composite,
+    composite_stream,
+    pack_sample_bitmask,
+    sample_along_rays,
+    select_kth_set_bit,
+)
 
 
 @struct.dataclass
@@ -235,22 +242,33 @@ class RenderPipeline:
         d2 = pairwise_dist2(to_smpl(frame, c_pts), centers)
         return jnp.min(d2 - thresh2[None, :], axis=1) <= 0.0
 
-    def _compact_plan(self, frame, flat, extra_mask, cp):
-        """Shared capacity-compaction machinery for the inference paths:
-        prefilter superset & extra_mask -> packed indices.
-
-        flat (N, 3) world points, extra_mask (N,) bool, cp = points per
-        decode chunk.  Returns (idx (M,) ascending with fill N, valid (M,),
-        safe (M,) clamped gather indices, n_active, M)."""
+    def _compact_mask(self, frame, flat, extra_mask, cp):
+        """Dense compaction mask: conservative cluster-radius prefilter of
+        the (N, 3) world points, ANDed with extra_mask."""
         n = flat.shape[0]
-        m = -(-int(self.compact_ratio * n) // cp) * cp
         centers_c, thresh2 = self._prefilter_tables(frame)
 
         def pre_body(c_pts):
             return self._prefilter_chunk(frame, c_pts, centers_c, thresh2)
 
         near_pre = jax.lax.map(pre_body, flat.reshape(-1, cp, 3)).reshape(n)
-        mask = near_pre & extra_mask
+        return near_pre & extra_mask
+
+    def _compact_plan(self, frame, flat, extra_mask, cp):
+        """Shared capacity-compaction machinery for the mesh/sigma path:
+        prefilter superset & extra_mask -> packed indices (jnp.nonzero).
+
+        The ray path uses the cheaper _render_frame_compact stream
+        reconstruction instead (nonzero's long cumsum + full-length scatter
+        measured ~33 ms/dispatch at N=4.19M; the grid path runs once per
+        mesh frame where that is immaterial).
+
+        flat (N, 3) world points, extra_mask (N,) bool, cp = points per
+        decode chunk.  Returns (idx (M,) ascending with fill N, valid (M,),
+        safe (M,) clamped gather indices, n_active, M)."""
+        n = flat.shape[0]
+        m = -(-int(self.compact_ratio * n) // cp) * cp
+        mask = self._compact_mask(frame, flat, extra_mask, cp)
         n_active = jnp.sum(mask)
         (idx,) = jnp.nonzero(mask, size=m, fill_value=n)  # ascending, pad=n
         valid = idx < n
@@ -480,28 +498,54 @@ class RenderPipeline:
         # clusters + per-cluster bounding radii picks the compaction superset
         # (nothing the exact cull keeps is lost); the exact 6890-vert
         # min-dist then runs only inside the compacted decode chunks
-        idx, valid, safe, n_active, m, mask = self._compact_plan(
-            frame, flat, jnp.repeat(rays.mask, s), cp
-        )
-        # per-ray stream offsets from the DENSE mask structure — no gathers
-        counts = jnp.sum(mask.reshape(r, s), axis=1, dtype=jnp.int32)
+        m = -(-int(self.compact_ratio * n) // cp) * cp
+        mask = self._compact_mask(frame, flat, jnp.repeat(rays.mask, s), cp)
+
+        # stream plan WITHOUT jnp.nonzero (its long cumsum + N-row scatter
+        # measured ~33 ms/dispatch at N=4.19M; this whole reconstruction is
+        # ~1 ms): per-ray stream offsets come from the dense mask structure
+        # (row-sums + 65K cumsum), the owner ray of each stream slot from a
+        # 65K marker scatter + blocked cumsum, and the k-th surviving
+        # SAMPLE index from a per-ray 64-bit mask (popcount binary search)
+        # that rides the packed ray-table gather below as two more columns.
+        m2d = mask.reshape(r, s)
+        counts = jnp.sum(m2d, axis=1, dtype=jnp.int32)
         ends = jnp.cumsum(counts)
+        n_active = ends[-1]
         starts = jnp.minimum(ends - counts, m)
         ends = jnp.minimum(ends, m)  # overflow rays lose their tail (holes)
+        words = pack_sample_bitmask(m2d)  # (r, ceil(s/32)) uint32
+        nw = words.shape[1]
 
-        ray_idx = safe // s  # (m,) nondecreasing
-        s_idx = (safe % s).astype(jnp.float32)
+        marker = jnp.zeros((m,), jnp.int32).at[starts].add(
+            jnp.ones((r,), jnp.int32), mode="drop", indices_are_sorted=True
+        )
+        # owner = LAST ray with start <= slot (empty rays share the next
+        # ray's start but have a smaller index, so last-started wins)
+        ray_idx = blocked_cumsum_i32(marker[:, None])[:, 0] - 1
+        ray_idx = jnp.clip(ray_idx, 0, r - 1)  # (m,) nondecreasing
+
         # ONE packed per-ray row gather [ray_o, ray_d, near, far, |ray_d|,
-        # vde] replaces the separate flat-pts and vde row gathers
+        # vde, bitmask words, start] replaces the separate flat-pts and vde
+        # row gathers (and the nonzero-index gather entirely)
         rdn = jnp.linalg.norm(rays.ray_d, axis=-1, keepdims=True)
         table = jnp.concatenate(
             [rays.ray_o, rays.ray_d, rays.near[:, None], rays.far[:, None],
-             rdn, vde], axis=1,
-        )  # (r, 36)
-        rt = table.at[ray_idx].get(indices_are_sorted=True)  # (m, 36)
+             rdn, vde,
+             jax.lax.bitcast_convert_type(words, jnp.float32),
+             jax.lax.bitcast_convert_type(starts, jnp.float32)[:, None]],
+            axis=1,
+        )  # (r, 37 + nw)
+        rt = table.at[ray_idx].get(indices_are_sorted=True)  # (m, 37+nw)
         ro, rd, near_c, far_c, rdn_c, c_vde = (
             rt[:, 0:3], rt[:, 3:6], rt[:, 6], rt[:, 7], rt[:, 8], rt[:, 9:36]
         )
+        words_c = jax.lax.bitcast_convert_type(rt[:, 36:36 + nw], jnp.uint32)
+        start_c = jax.lax.bitcast_convert_type(rt[:, 36 + nw], jnp.int32)
+        k = jnp.arange(m, dtype=jnp.int32) - start_c  # k-th survivor
+        s_idx = select_kth_set_bit(words_c, k).astype(jnp.float32)
+        valid = jnp.arange(m, dtype=jnp.int32) < jnp.minimum(n_active, m)
+
         tfrac = s_idx / (s - 1)
         z = near_c * (1.0 - tfrac) + far_c * tfrac  # == sample_along_rays
         c_pts = ro + rd * z[:, None]

@@ -128,6 +128,50 @@ def segmented_excl_prod(v, seg_id, row: int = 128):
     return out.reshape(-1)[:m]
 
 
+def pack_sample_bitmask(mask2d):
+    """(R, S) bool -> (R, ceil(S/32)) uint32; bit j of word w is sample
+    32*w + j.  VPU-only (shifts + disjoint-bit sums), no gathers."""
+    r, s = mask2d.shape
+    nw = (s + 31) // 32
+    shifts = (jnp.arange(s, dtype=jnp.uint32) % 32)[None, :]
+    w = mask2d.astype(jnp.uint32) << shifts
+    sel = jnp.arange(s) // 32
+    return jnp.stack(
+        [jnp.sum(jnp.where(sel == j, w, 0), axis=1, dtype=jnp.uint32)
+         for j in range(nw)],
+        axis=1,
+    )
+
+
+def select_kth_set_bit(words, k):
+    """Position of the k-th (0-based) set bit of each row's bitmask.
+
+    words: (M, NW) uint32 (row bitmask, word w covers bits 32w..32w+31);
+    k: (M,) int32.  Returns (M,) int32 in [0, 32*NW); callers mask slots
+    where k >= popcount(row) themselves (the return is then an arbitrary
+    in-range value).  Word cascade + 5-step popcount binary search —
+    pure VPU ops, vectorized over M.
+    """
+    nw = words.shape[1]
+    rem = k
+    pos = jnp.zeros_like(k)
+    word = words[:, 0]
+    for j in range(1, nw):
+        pc = jax.lax.population_count(word).astype(jnp.int32)
+        go = rem >= pc
+        rem = jnp.where(go, rem - pc, rem)
+        pos = jnp.where(go, pos + 32, pos)
+        word = jnp.where(go, words[:, j], word)
+    for b in (16, 8, 4, 2, 1):
+        lowmask = (jnp.uint32(1) << b) - jnp.uint32(1)
+        c = jax.lax.population_count(word & lowmask).astype(jnp.int32)
+        go = rem >= c
+        rem = jnp.where(go, rem - c, rem)
+        pos = jnp.where(go, pos + b, pos)
+        word = jnp.where(go, word >> b, word)
+    return pos
+
+
 def blocked_cumsum_i32(q, row: int = 128):
     """Inclusive cumsum along axis 0 of (M, C) int32 with two's-complement
     wraparound, via (M/row, row, C) blocking (jnp.cumsum over one long axis
