@@ -5,6 +5,13 @@ runs the chunks.  Measures raw blocked row-gather economics vs XLA take at
 bench scale (M = 2.36M point-views, src = V*Hf*Wf x C bf16) for G points
 per grid step, G in {8, 32}.  If this wins by ~2x, a bilinear 2-block
 variant replaces the decode's 2x2 slice gather.
+
+MEASURED (v5e, 2026-08-17): blocked G=8 192.8 ms / G=32 177.0 ms
+(75-82 GB/s fetched), XLA take 50.5 ms at the same M.  Per-block-DMA
+issue cost ~75 ns — the SAME descriptor floor XLA's gather pays per row.
+NEGATIVE, final: no Pallas formulation beats the issue-rate bound; the
+decode keeps XLA's 2x2-slice gather.  Do not revisit (int8 doesn't help —
+traffic isn't the binding constraint, descriptor issue rate is).
 """
 import functools
 import time
