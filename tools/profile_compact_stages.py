@@ -2,7 +2,14 @@
 bench scale (65536 rays x 64 samples, ratio 0.1875, bf16).
 One jit per ablation, big tensors as args, forced scalar readback.
 Stage costs = differences between consecutive rows (each row carries the
-same ~25 ms tunnel dispatch)."""
+same ~25 ms tunnel dispatch).
+
+CAVEAT (learned in round 3, tools/probe_plan.py): a stage that returns
+only a reduction lets XLA DCE the expensive part into the NEXT stage's
+diff — the old 'plan' row returned n_active only, so jnp.nonzero's ~33 ms
+index materialization was mis-binned into '+packed inputs'.  The stages
+below mirror the CURRENT pipeline (bitmask stream plan, no nonzero) and
+each returns a sum over every materialized output it claims to cover."""
 import time
 
 import jax
@@ -44,34 +51,53 @@ n = N_RAYS * S
 m = -(-int(RATIO * n) // cp) * cp
 
 
-def plan(params, frame, rays):
+from transhuman_tpu.render.volume import (  # noqa: E402
+    blocked_cumsum_i32, pack_sample_bitmask, select_kth_set_bit)
+
+
+def mask_core(frame, rays):
     pts, _ = sample_along_rays(rays.ray_o, rays.ray_d, rays.near,
                                rays.far, S)
     flat = pts.reshape(n, 3)
-    return pipe._compact_plan(frame, flat, jnp.repeat(rays.mask, S), cp)
+    return pipe._compact_mask(frame, flat, jnp.repeat(rays.mask, S), cp)
 
 
-def stage_plan(params, frame, rays):
-    return plan(params, frame, rays)[3]
+def stage_mask(params, frame, rays):
+    return jnp.sum(mask_core(frame, rays))
 
 
 def inputs_core(params, frame, rays):
-    idx, valid, safe, n_active, _, mask = plan(params, frame, rays)
+    """Mirrors pipeline._render_frame_compact's stream plan + packed
+    ray-table gather (keep in sync)."""
+    mask = mask_core(frame, rays)
     viewdir = rays.ray_d / jnp.linalg.norm(rays.ray_d, axis=-1, keepdims=True)
     vde = embed_viewdir(viewdir)
-    counts = jnp.sum(mask.reshape(N_RAYS, S), axis=1, dtype=jnp.int32)
+    m2d = mask.reshape(N_RAYS, S)
+    counts = jnp.sum(m2d, axis=1, dtype=jnp.int32)
     ends = jnp.cumsum(counts)
+    n_active = ends[-1]
     starts = jnp.minimum(ends - counts, m)
     ends = jnp.minimum(ends, m)
-    ray_idx = safe // S
-    s_idx = (safe % S).astype(jnp.float32)
+    words = pack_sample_bitmask(m2d)
+    nw = words.shape[1]
+    marker = jnp.zeros((m,), jnp.int32).at[starts].add(
+        jnp.ones((N_RAYS,), jnp.int32), mode="drop", indices_are_sorted=True)
+    ray_idx = jnp.clip(blocked_cumsum_i32(marker[:, None])[:, 0] - 1,
+                       0, N_RAYS - 1)
     rdn = jnp.linalg.norm(rays.ray_d, axis=-1, keepdims=True)
     table = jnp.concatenate(
         [rays.ray_o, rays.ray_d, rays.near[:, None], rays.far[:, None],
-         rdn, vde], axis=1)
+         rdn, vde,
+         jax.lax.bitcast_convert_type(words, jnp.float32),
+         jax.lax.bitcast_convert_type(starts, jnp.float32)[:, None]], axis=1)
     rt = table.at[ray_idx].get(indices_are_sorted=True)
     ro, rd, near_c, far_c, rdn_c, c_vde = (
         rt[:, 0:3], rt[:, 3:6], rt[:, 6], rt[:, 7], rt[:, 8], rt[:, 9:36])
+    words_c = jax.lax.bitcast_convert_type(rt[:, 36:36 + nw], jnp.uint32)
+    start_c = jax.lax.bitcast_convert_type(rt[:, 36 + nw], jnp.int32)
+    k = jnp.arange(m, dtype=jnp.int32) - start_c
+    s_idx = select_kth_set_bit(words_c, k).astype(jnp.float32)
+    valid = jnp.arange(m, dtype=jnp.int32) < jnp.minimum(n_active, m)
     tfrac = s_idx / (S - 1)
     z = near_c * (1.0 - tfrac) + far_c * tfrac
     c_pts = ro + rd * z[:, None]
@@ -81,7 +107,8 @@ def inputs_core(params, frame, rays):
 
 def stage_inputs(params, frame, rays):
     c = inputs_core(params, frame, rays)
-    return c[0].sum() + c[1].sum()
+    return (c[0].sum() + c[1].sum() + c[3].sum() + c[8][-1]
+            + c[9][-1] + c[10][-1])
 
 
 def decode_core(params, frame, rays):
@@ -117,7 +144,7 @@ def stage_full(params, frame, rays):
     return out["rgb_map"].sum()
 
 
-print(f"plan            {t(jax.jit(stage_plan), params, frame, rays)*1e3:8.1f} ms", flush=True)
+print(f"mask            {t(jax.jit(stage_mask), params, frame, rays)*1e3:8.1f} ms", flush=True)
 print(f"+packed inputs  {t(jax.jit(stage_inputs), params, frame, rays)*1e3:8.1f} ms", flush=True)
 print(f"+decode         {t(jax.jit(stage_decode), params, frame, rays)*1e3:8.1f} ms", flush=True)
 print(f"+stream composite{t(jax.jit(stage_full), params, frame, rays)*1e3:7.1f} ms", flush=True)

@@ -146,31 +146,31 @@ def _sfm_bwd(image_shape, res, g):
     wxf = wx.astype(jnp.float32)
     wyf = wy.astype(jnp.float32)
 
-    # per-tap weights of the bilinear lerp
-    w00 = (1 - wxf) * (1 - wyf)
-    w01 = wxf * (1 - wyf)
-    w10 = (1 - wxf) * wyf
-    w11 = wxf * wyf
-
     # d_feat: scatter-add 4 taps per point -> sort + sorted segment-sum.
     # KEY STRUCTURE: x0i/y0i are pre-clamped to [0, Wf-2]/[0, Hf-2]
     # (_sample_taps), so the four tap ids are EXACT constant shifts of the
     # base id: {id0, id0+1, id0+Wf, id0+Wf+1}.  A constant shift preserves
     # order, so ONE argsort of N ids serves all four taps (the previous
     # tap-major form sorted 4N ids — the argsort alone was 42 ms at train
-    # scale) and the (N, C) cotangent rows are gathered ONCE (bf16, upcast
-    # after — exact) instead of four times; each tap then runs its own
-    # sorted segment-sum with the shifted ids.
+    # scale).  The cotangent rows are gathered ONCE (bf16, upcast after —
+    # exact), and the bilinear fractions ride along as ONE (N, 2) f32 take
+    # from which the four tap weights are recomputed after the sort
+    # (replaces four separate (N,) weight gathers per view — every gather
+    # here is descriptor-issue-bound, so fewer gathers beat thinner ones).
     base = y0i * Wf + x0i  # (V, N), max (Hf-2)*Wf + Wf-2
 
-    def per_view(i, g_rows, w4):
+    def per_view(i, g_rows, wxy):
         order = jnp.argsort(i)
         i_s = i[order]
         rows = jnp.take(g_rows, order, axis=0).astype(jnp.float32)
+        wxy_s = jnp.take(wxy, order, axis=0)
+        wxs, wys = wxy_s[:, :1], wxy_s[:, 1:]
+        w4 = ((1 - wxs) * (1 - wys), wxs * (1 - wys),
+              (1 - wxs) * wys, wxs * wys)
         acc = 0.0
         for off, w in zip((0, 1, Wf, Wf + 1), w4):
             acc = acc + jax.ops.segment_sum(
-                rows * jnp.take(w, order, axis=0),
+                rows * w,
                 i_s + off,
                 num_segments=Hf * Wf,
                 indices_are_sorted=True,
@@ -178,7 +178,7 @@ def _sfm_bwd(image_shape, res, g):
         return acc
 
     d_feat = jax.vmap(per_view)(
-        base, g, (w00, w01, w10, w11)
+        base, g, jnp.concatenate([wxf, wyf], axis=-1)
     ).reshape(V, Hf, Wf, C)
 
     # d_uv through the lerp weights (clip boundaries treated as interior;
