@@ -83,3 +83,34 @@ def test_sample_z_vals_deterministic_and_stratified():
     lower = np.concatenate([z[:, :1], mids], 1)
     upper = np.concatenate([mids, z[:, -1:]], 1)
     assert (zp >= lower - 1e-6).all() and (zp <= upper + 1e-6).all()
+
+
+def test_near_far_hull_matches_dense():
+    """get_near_far_hull is exactly get_near_far scattered to the full grid,
+    including the 2-intersections mask quirk — over several camera poses
+    (front-facing and a behind-camera fallback case)."""
+    from transhuman_tpu.geometry.rays import (
+        get_near_far, get_near_far_hull, get_rays)
+
+    rng = np.random.default_rng(3)
+    H = W = 64
+    bounds = np.array([[-0.4, -0.9, -0.3], [0.4, 0.9, 0.3]], np.float32)
+    for k in range(4):
+        th = rng.uniform(0, 2 * np.pi)
+        R = np.array(
+            [[np.cos(th), 0, -np.sin(th)], [0, 1, 0],
+             [np.sin(th), 0, np.cos(th)]], np.float32)
+        # k==3: camera INSIDE the box -> corners behind -> dense fallback
+        dist = 0.1 if k == 3 else 2.5
+        cam_pos = np.array([-dist * np.sin(th), 0.1, -dist * np.cos(th)])
+        T = (-R @ cam_pos).astype(np.float32)
+        K = np.array([[70.0, 0, W / 2], [0, 70.0, H / 2], [0, 0, 1]],
+                     np.float32)
+        ray_o, ray_d = get_rays(H, W, K, R, T)
+        ray_o, ray_d = ray_o.reshape(-1, 3), ray_d.reshape(-1, 3)
+        near, far, mask = get_near_far(bounds, ray_o, ray_d)
+        nf, ff, mh = get_near_far_hull(bounds, ray_o, ray_d, K, R, T, H, W)
+        np.testing.assert_array_equal(mh, mask)
+        np.testing.assert_array_equal(nf[mask], near)
+        np.testing.assert_array_equal(ff[mask], far)
+        assert mask.sum() > 0

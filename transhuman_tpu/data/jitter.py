@@ -7,6 +7,14 @@ rank/worker sees the same augmentation for the same (epoch, index)
 (`can_smpl.py:320-328`).  Reimplemented in numpy/cv2 (same transform
 semantics; the exact random draws differ from torchvision's RNG, which only
 affects training augmentation, never eval parity).
+
+Runs on the float [0,1] image AFTER the resize (the reference jitters the
+full-resolution uint8 frame before undistort/resize) — an intentional
+host-pipeline optimization: 1024x1024 u8 jitter was the single largest
+input-path cost (~160 ms/sample) and jitter-then-linear-resample vs
+resample-then-jitter only differ through the per-op clip, which is
+irrelevant for a training augmentation whose draws already deviate from
+torchvision's.  In-place blends, one temporary.
 """
 
 from __future__ import annotations
@@ -19,31 +27,44 @@ SATURATION = (0.2, 2.0)
 HUE = (-0.5, 0.5)
 
 
-def _blend(a, b, f):
-    return np.clip(f * a + (1.0 - f) * b, 0.0, 255.0)
+def _blend_(img, other, f):
+    """img <- clip(f*img + (1-f)*other) in place; other is scalar or array."""
+    np.multiply(img, f, out=img)
+    if isinstance(other, np.ndarray):
+        img += (1.0 - f) * other
+    elif other != 0.0:
+        img += (1.0 - f) * other
+    np.clip(img, 0.0, 1.0, out=img)
+    return img
 
 
-def color_jitter(img_u8: np.ndarray, seed: int) -> np.ndarray:
-    """img_u8: (H, W, 3) uint8 RGB -> jittered uint8 RGB."""
+_GRAY = np.array([0.299, 0.587, 0.114], np.float32)
+
+
+def color_jitter(img: np.ndarray, seed: int) -> np.ndarray:
+    """img: (H, W, 3) float32 RGB in [0, 1] -> jittered float32 RGB.
+
+    The input array is not modified; ops run in a random order like
+    torchvision's ColorJitter."""
+    import cv2
+
     rng = np.random.default_rng(seed)
-    img = img_u8.astype(np.float32)
+    img = img.astype(np.float32, copy=True)
     b = rng.uniform(*BRIGHTNESS)
     c = rng.uniform(*CONTRAST)
     s = rng.uniform(*SATURATION)
     h = rng.uniform(*HUE)
     for op in rng.permutation(4):
         if op == 0:
-            img = _blend(img, 0.0, b)
+            _blend_(img, 0.0, b)
         elif op == 1:
-            mean = img @ np.array([0.299, 0.587, 0.114], np.float32)
-            img = _blend(img, float(mean.mean()), c)
+            mean = float((img @ _GRAY).mean())
+            _blend_(img, mean, c)
         elif op == 2:
-            gray = (img @ np.array([0.299, 0.587, 0.114], np.float32))[..., None]
-            img = _blend(img, gray, s)
+            gray = (img @ _GRAY)[..., None]
+            _blend_(img, gray, s)
         else:
-            import cv2
-
-            hsv = cv2.cvtColor(img.astype(np.uint8), cv2.COLOR_RGB2HSV)
-            hsv[..., 0] = (hsv[..., 0].astype(np.int32) + int(h * 180)) % 180
-            img = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).astype(np.float32)
-    return img.astype(np.uint8)
+            hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)  # H in [0,360)
+            hsv[..., 0] = (hsv[..., 0] + h * 360.0) % 360.0
+            img = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    return img

@@ -28,7 +28,12 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..geometry.rays import get_bound_2d_mask, get_near_far, get_rays
+from ..geometry.rays import (
+    get_bound_2d_mask,
+    get_near_far,
+    get_near_far_hull,
+    get_rays_cached,
+)
 from ..render.pipeline import RayBundle
 
 
@@ -83,7 +88,7 @@ def sample_train_rays(
     seeded determinism contract, can_smpl.py:320-328)."""
     H, W = img.shape[:2]
     ps = patch_size
-    ray_o, ray_d = get_rays(H, W, K, R, T)
+    ray_o, ray_d = get_rays_cached(H, W, K, R, T)
     ray_o = ray_o.reshape(-1, 3)
     ray_d = ray_d.reshape(-1, 3)
 
@@ -91,11 +96,9 @@ def sample_train_rays(
     bound_mask = get_bound_2d_mask(can_bounds, K, pose, H, W)
     msk_eff = msk * bound_mask  # mask clipped to the projected AABB
 
-    near, far, ray_mask = get_near_far(can_bounds, ray_o, ray_d)
-    near_full = np.zeros(H * W, np.float32)
-    far_full = np.zeros(H * W, np.float32)
-    near_full[ray_mask] = near
-    far_full[ray_mask] = far
+    near_full, far_full, ray_mask = get_near_far_hull(
+        can_bounds, ray_o, ray_d, K, R, T, H, W
+    )
 
     subject_mask = msk_eff > 0
     bbox_not_subject = ray_mask.reshape(H, W) & ~subject_mask
@@ -178,7 +181,7 @@ def sample_train_rays_random(
     with mask=False rays, which `masked_mse` drops.
     """
     H, W = img.shape[:2]
-    ray_o, ray_d = get_rays(H, W, K, R, T)
+    ray_o, ray_d = get_rays_cached(H, W, K, R, T)
     ray_o = ray_o.reshape(-1, 3)
     ray_d = ray_d.reshape(-1, 3)
     img_flat = img.reshape(-1, 3)
@@ -257,16 +260,18 @@ def sample_eval_rays(img, K, R, T, can_bounds) -> EvalRays:
     """Every pixel whose ray intersects the world AABB
     (sample_ray_h36m test branch, if_nerf_data_utils.py:272-284)."""
     H, W = img.shape[:2]
-    ray_o, ray_d = get_rays(H, W, K, R, T)
+    ray_o, ray_d = get_rays_cached(H, W, K, R, T)
     ray_o = ray_o.reshape(-1, 3)
     ray_d = ray_d.reshape(-1, 3)
-    near, far, mask_at_box = get_near_far(can_bounds, ray_o, ray_d)
+    near_full, far_full, mask_at_box = get_near_far_hull(
+        can_bounds, ray_o, ray_d, K, R, T, H, W
+    )
     pix_idx = np.nonzero(mask_at_box)[0].astype(np.int32)
     rays = RayBundle(
         ray_o=ray_o[mask_at_box].astype(np.float32),
         ray_d=ray_d[mask_at_box].astype(np.float32),
-        near=near.astype(np.float32),
-        far=far.astype(np.float32),
+        near=near_full[mask_at_box].astype(np.float32),
+        far=far_full[mask_at_box].astype(np.float32),
         mask=np.ones(pix_idx.shape[0], bool),
     )
     return EvalRays(

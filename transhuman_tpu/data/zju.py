@@ -79,6 +79,7 @@ class ZJUDataset:
             smpl = SMPLModel.load(cfg.smpl_dir)
         self.smpl = smpl
         self.epoch = 0
+        self._ud_cache: Dict[tuple, tuple] = {}  # undistort maps per cam+size
 
         if human_info is None:
             human_info = catalog.get_human_info(split, cfg.test.mode)
@@ -194,25 +195,53 @@ class ZJUDataset:
         out[(dilated - eroded) == 1] = 100
         return out
 
+    def _undistort_maps(self, human, cam_ind, hw):
+        """Cached cv2.initUndistortRectifyMap for a fixed camera+size.
+        cv2.undistort recomputes the distortion maps on EVERY call (~40 ms
+        at 1024x1024); cameras are fixed per dataset, so build the CV_32FC1
+        maps once and remap per frame (same map type + bilinear interp as
+        undistort's internal path).  Returns None for zero distortion
+        (undistort is then an exact-identity resample — skip it)."""
+        import cv2
+
+        key = (human, cam_ind, hw)
+        maps = self._ud_cache.get(key)
+        if maps is None:
+            cams = self.cams[human]
+            K = np.array(cams["K"][cam_ind], np.float32)
+            D = np.array(cams["D"][cam_ind], np.float32)
+            if not np.any(D):
+                maps = (None, None)
+            else:
+                h, w = hw
+                maps = cv2.initUndistortRectifyMap(
+                    K, D, None, K, (w, h), cv2.CV_32FC1
+                )
+            self._ud_cache[key] = maps
+        return maps
+
     def _process(self, img_u8, msk, human, cam_ind, jitter_seed=None):
         """jitter -> [0,1] -> undistort -> resize -> mask bkgd.
         Returns (img (H,W,3) f32, msk (H,W) u8, K (3,3), R (3,3), T (3,))."""
         import cv2
 
-        if jitter_seed is not None:
-            img_u8 = color_jitter(img_u8, jitter_seed)
-        img = img_u8.astype(np.float32) / 255.0
+        # one fused u8 -> [0,1] f32 pass (astype + divide was two)
+        img = np.multiply(img_u8, np.float32(1.0 / 255.0), dtype=np.float32)
         cams = self.cams[human]
         K = np.array(cams["K"][cam_ind], np.float32).copy()
-        D = np.array(cams["D"][cam_ind], np.float32)
-        img = cv2.undistort(img, K, D)
-        msk = cv2.undistort(msk, K, D)
+        m1, m2 = self._undistort_maps(human, cam_ind, img.shape[:2])
+        if m1 is not None:
+            img = cv2.remap(img, m1, m2, cv2.INTER_LINEAR)
+            msk = cv2.remap(msk, m1, m2, cv2.INTER_LINEAR)
         R = np.array(cams["R"][cam_ind], np.float32)
         T = (np.array(cams["T"][cam_ind], np.float32) / 1000.0).reshape(3)
         H, W = int(img.shape[0] * self.ratio), int(img.shape[1] * self.ratio)
         K[:2] *= self.ratio
         img = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
         msk = cv2.resize(msk, (W, H), interpolation=cv2.INTER_NEAREST)
+        if jitter_seed is not None:
+            # post-resize float jitter (see data/jitter.py docstring)
+            img = color_jitter(img, jitter_seed)
         if self.cfg.mask_bkgd:
             img[msk == 0] = 1.0 if self.cfg.white_bkgd else 0.0
         return img, msk, K, R, T
@@ -286,10 +315,16 @@ class ZJUDataset:
         cam_ind = self.cam_inds[index]
         zfill = len(frame_file[:-4])
 
-        import imageio.v2 as imageio
+        # JPG frames load via cv2 (libjpeg-turbo, releases the GIL for the
+        # loader's worker threads; ~2x imageio/PIL).  The reference reads
+        # with imageio (can_smpl.py:339) — RGB order preserved here; jpeg
+        # decoder differences are at most +-1 u8 LSB.  Palette-PNG masks
+        # stay on imageio (_load_mask): cv2 would apply the palette in BGR
+        # and flip the channel the != 0 test reads.
+        import cv2
 
         # ---- target view (mask lives under the image's own camera dir)
-        tgt_img = np.asarray(imageio.imread(path))
+        tgt_img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
         tgt_cam_dir = os.path.basename(os.path.dirname(path))
         tgt_msk_raw = self._mark_border(
             self._load_mask(human, tgt_cam_dir, frame_file)
@@ -310,7 +345,7 @@ class ZJUDataset:
             ipath = os.path.join(
                 self.data_root, human, self._cam_dir(human, cam_id), frame_file
             )
-            iimg = np.asarray(imageio.imread(ipath))
+            iimg = cv2.cvtColor(cv2.imread(ipath), cv2.COLOR_BGR2RGB)
             imsk = self._load_mask(human, self._cam_dir(human, cam_id), frame_file)
             iimg, imsk, iK, iR, iT = self._process(iimg, imsk, human, v, jseed)
             imgs.append(iimg)

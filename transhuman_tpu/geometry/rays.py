@@ -116,6 +116,76 @@ def get_near_far(bounds: np.ndarray, ray_o: np.ndarray, ray_d: np.ndarray):
     return near.astype(np.float32), far.astype(np.float32), mask_at_box
 
 
+_RAY_CACHE: dict = {}
+
+
+def get_rays_cached(H, W, K, R, T):
+    """Per-camera full-image ray grid, cached by (size, intrinsics, pose).
+
+    Cameras are fixed for a dataset, so the grid rebuild (~24 ms/sample at
+    512x512 on one core) is pure waste on the train input path.  Returned
+    arrays are shared read-only views — callers must not mutate them
+    (get_near_far already copies before its in-place clamp)."""
+    K = np.asarray(K)
+    key = (
+        H, W, K.tobytes(), np.asarray(R).tobytes(), np.asarray(T).tobytes()
+    )
+    hit = _RAY_CACHE.get(key)
+    if hit is None:
+        ro, rd = get_rays(H, W, K, R, T)
+        ro.setflags(write=False)
+        rd.setflags(write=False)
+        if len(_RAY_CACHE) > 256:  # bound the cache (multi-human evals)
+            _RAY_CACHE.clear()
+        _RAY_CACHE[key] = hit = (ro, rd)
+    return hit
+
+
+def get_near_far_hull(bounds, ray_o, ray_d, K, R, T, H, W):
+    """`get_near_far` over a full H*W pixel grid, restricted to rays inside
+    the dilated projected hull of the inflated AABB — identical outputs at
+    ~5x less host work (the full-image 6-plane test was ~118 ms/sample at
+    512x512 and sat on the train input path's critical path).
+
+    Soundness: a ray through pixel p that hits the box inflated by 1 cm
+    (get_near_far's margin) hits it at a point X that projects exactly to
+    p; X lies inside the 2 cm-inflated box, whose projection (box fully in
+    front of the camera) is the convex hull of its projected corners — so
+    p is inside the hull.  The 2 px dilation absorbs fillPoly's integer
+    corner rounding.  If any inflated corner lands at or behind the camera
+    the convexity argument fails and the dense test runs instead.
+
+    Returns (near_full (H*W,), far_full (H*W,), mask (H*W,)); near/far are
+    0 outside mask.
+    """
+    import cv2
+
+    n = H * W
+    infl = bounds + np.array([-0.02, 0.02])[:, None]
+    corners = get_bound_corners(infl)
+    z_cam = (corners @ np.asarray(R).T + np.asarray(T).reshape(1, 3))[:, 2]
+    near_full = np.zeros(n, np.float32)
+    far_full = np.zeros(n, np.float32)
+    if np.any(z_cam < 1e-3):
+        near, far, mask = get_near_far(bounds, ray_o, ray_d)
+        near_full[mask] = near
+        far_full[mask] = far
+        return near_full, far_full, mask
+    pose = np.concatenate(
+        [np.asarray(R), np.asarray(T).reshape(3, 1)], axis=1
+    )
+    hull = get_bound_2d_mask(infl, K, pose, H, W)
+    hull = cv2.dilate(hull, np.ones((5, 5), np.uint8)).astype(bool).ravel()
+    idx = np.nonzero(hull)[0]
+    near_s, far_s, mask_s = get_near_far(bounds, ray_o[idx], ray_d[idx])
+    mask = np.zeros(n, bool)
+    mask[idx] = mask_s
+    sel = idx[mask_s]
+    near_full[sel] = near_s
+    far_full[sel] = far_s
+    return near_full, far_full, mask
+
+
 def sample_z_vals(near, far, n_samples, rng: "np.random.Generator | None" = None):
     """Stratified depth samples (host variant; device variant in render/volume.py).
 

@@ -157,6 +157,12 @@ def _sfm_bwd(image_shape, res, g):
     # from which the four tap weights are recomputed after the sort
     # (replaces four separate (N,) weight gathers per view — every gather
     # here is descriptor-issue-bound, so fewer gathers beat thinner ones).
+    # MEASURED NEGATIVE (v5e, train scale, do not revisit): collapsing the
+    # four per-tap segment-sums into ONE (N, 4C) segment-sum over base ids
+    # with the tap offsets applied as static grid shifts of the
+    # (Hf, Wf, 4, C) result made the step 0.261 -> 0.381 s — the 1.6 GB
+    # f32 per-view accumulator it materializes costs far more than the
+    # three extra N-row scatters it saves.
     base = y0i * Wf + x0i  # (V, N), max (Hf-2)*Wf + Wf-2
 
     def per_view(i, g_rows, wxy):
