@@ -273,3 +273,29 @@ def test_rasterize_false_gives_all_ones_vizmaps(fake_zju):
     ds.set_epoch(0)
     s = ds.get_train_sample(0)
     np.testing.assert_array_equal(s.frame.vizmaps, 1.0)
+
+
+def test_loader_keeps_workers_busy():
+    """The loader must keep num_workers + prefetch fetches in flight —
+    in-flight was once capped at `prefetch` alone, silently serializing a
+    5-worker loader to 2-wide (r3 regression guard)."""
+    import threading
+    import time
+
+    peak = 0
+    active = 0
+    lock = threading.Lock()
+
+    def fetch(i):
+        nonlocal peak, active
+        with lock:
+            active += 1
+            peak = max(peak, active)
+        time.sleep(0.05)
+        with lock:
+            active -= 1
+        return i
+
+    out = list(Loader(fetch, range(24), num_workers=4, prefetch=2))
+    assert out == list(range(24))  # order preserved
+    assert peak >= 4, f"only {peak} fetches ever ran concurrently"
