@@ -142,12 +142,23 @@ def bench_train_step():
     state, stats = step(state, batch, jax.random.PRNGKey(0))  # compile
     float(stats["loss"])
 
+    # steady-state timing, exactly like cli/train.py's loop: consecutive
+    # steps are data-dependent (state chains through the device) so they
+    # CANNOT reorder, and the product loop only reads stats back every
+    # log_interval steps — so time N chained steps bounded by ONE forced
+    # scalar readback at the tail (the per-step readback added ~30 ms of
+    # pure tunnel dispatch per step that no real training run pays).
+    n_chain, n_rep = 5, 3
     times = []
-    for i in range(10):
+    for r in range(n_rep):
         t0 = time.perf_counter()
-        state, stats = step(state, batch, jax.random.fold_in(jax.random.PRNGKey(1), i))
-        float(stats["loss"])  # forced readback drains the tunnel queue
-        times.append(time.perf_counter() - t0)
+        for i in range(n_chain):
+            state, stats = step(
+                state, batch,
+                jax.random.fold_in(jax.random.PRNGKey(1), r * n_chain + i),
+            )
+        float(stats["loss"])  # tail readback drains the tunnel queue
+        times.append((time.perf_counter() - t0) / n_chain)
     return float(np.median(times))
 
 
