@@ -69,6 +69,45 @@ if "render" in sys.argv:
     jax.block_until_ready(jax.tree.leaves(sample_dev)[0])
     print(f"render-only  {_timeit(rt, state.params, sample_dev, jax.random.PRNGKey(2))*1e3:8.1f} ms", flush=True)
 
+if "chain" in sys.argv:
+    # Chained-timing variant matrix (the bench.py discipline: 5 data-dependent
+    # steps per rep, ONE tail readback — what cli/train.py actually pays
+    # between log_interval readbacks).  Isolates what the ~170 ms backward is
+    # made of at steady state, where gathers/DMA overlap compute.
+    from transhuman_tpu.models.lpips import init_lpips_params, make_lpips_fn
+    import transhuman_tpu.render.pipeline as P
+    from transhuman_tpu.ops.sampling import sample_feature_map as _orig
+
+    lpips_fn = make_lpips_fn(init_lpips_params(jax.random.PRNGKey(1)))
+
+    def chain_time(step_fn, n_chain=5, n_rep=3):
+        s = init_state(params, tx)
+        s, st = step_fn(s, batch, jax.random.PRNGKey(0))
+        float(st["loss"])
+        ts = []
+        for r in range(n_rep):
+            t0 = time.perf_counter()
+            for i in range(n_chain):
+                s, st = step_fn(
+                    s, batch, jax.random.fold_in(jax.random.PRNGKey(1), r * n_chain + i))
+            float(st["loss"])
+            ts.append((time.perf_counter() - t0) / n_chain)
+        return float(np.median(ts))
+
+    for label, lp, stopgrad in [
+        ("base (no lpips)      ", None, False),
+        ("+lpips (bench cfg)   ", lpips_fn, False),
+        ("stopgrad-sampling    ", None, True),
+        ("stopgrad + lpips     ", lpips_fn, True),
+    ]:
+        if stopgrad:
+            P.sample_feature_map = lambda *a, **k: jax.lax.stop_gradient(_orig(*a, **k))
+        try:
+            fn = make_train_step(pipe, tx, lpips_fn=lp, donate=False)
+            print(f"chain {label} {chain_time(fn)*1e3:8.1f} ms/step", flush=True)
+        finally:
+            P.sample_feature_map = _orig
+
 if "nosamplegrad" in sys.argv:
     import transhuman_tpu.render.pipeline as P
     from transhuman_tpu.ops.sampling import sample_feature_map as _orig
