@@ -34,6 +34,10 @@ HW = 512 * 512
 
 
 def make_kernel(n_taps: int):
+    # Mosaic cannot prove a per-row dynamic load offset is sublane-aligned
+    # (bf16 tiles are (16, 128)): load aligned 8-row chunks and unroll the
+    # chunk statically; the per-row *store* at an arbitrary dynamic sublane
+    # offset is the open question this probe answers.
     def kernel(ids_ref, rows_ref, out_ref):
         b = pl.program_id(0)
 
@@ -43,16 +47,63 @@ def make_kernel(n_taps: int):
 
         base = b * B
 
-        def body(i, _):
-            idx = ids_ref[base + i]
-            row = rows_ref[pl.ds(i, 1), :].astype(jnp.float32)
-            for t in range(n_taps):
-                out_ref[pl.ds(idx + t, 1), :] += row * (0.25 + 0.1 * t)
+        def body(j, _):
+            chunk = rows_ref[pl.ds(j * 8, 8), :].astype(jnp.float32)
+            for u in range(8):
+                idx = ids_ref[base + j * 8 + u]
+                row = chunk[u : u + 1, :]
+                for t in range(n_taps):
+                    out_ref[pl.ds(idx + t, 1), :] += row * (0.25 + 0.1 * t)
             return 0
 
-        jax.lax.fori_loop(0, B, body, 0)
+        jax.lax.fori_loop(0, B // 8, body, 0)
 
     return kernel
+
+
+def make_onehot_kernel(n_taps: int, w_span: int):
+    # Descriptor-free AND dynamic-store-free: ids stream in as a VMEM
+    # vector; the block's scatter matrix M[s, r] = sum_t w_t * [s == id_r+t]
+    # is built by compare-against-iota on the VPU and applied as ONE MXU
+    # matmul out[s, c] += M @ rows.  Window index would be dynamic
+    # (scalar-prefetched, monotonic) in the real kernel; here out is a
+    # single window and ids are in-range, which measures the rate only.
+    def kernel(ids_ref, rows_ref, out_ref):
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _init():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        ids = ids_ref[0, :]  # (B,) int32 in [0, w_span)
+        chunk = rows_ref[:].astype(jnp.bfloat16)  # (B, C)
+        span = jax.lax.broadcasted_iota(jnp.int32, (w_span, B), 0)
+        m = jnp.zeros((w_span, B), jnp.bfloat16)
+        for t in range(n_taps):
+            m = m + jnp.where(span == ids[None, :] + t,
+                              jnp.bfloat16(0.25 + 0.1 * t), jnp.bfloat16(0))
+        out_ref[:] += jax.lax.dot_general(
+            m, chunk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+def onehot_scatter(ids2d, rows, n_taps, w_span):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(N // B,),
+        in_specs=[
+            pl.BlockSpec((1, B), lambda b: (b, 0)),
+            pl.BlockSpec((B, C), lambda b: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((w_span + 8, C), lambda b: (0, 0)),
+    )
+    return pl.pallas_call(
+        make_onehot_kernel(n_taps, w_span + 8),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((w_span + 8, C), jnp.float32),
+    )(ids2d, rows)
 
 
 def stream_scatter(ids, rows, n_taps):
@@ -130,6 +181,27 @@ def main():
         dt = per_iter(mk_pallas(taps), ids, rows)
         print(
             f"pallas stream x{taps}    {dt*1e3:8.2f} ms  {dt/(N*taps)*1e9:6.1f} ns/store",
+            flush=True,
+        )
+    for w_span in (1024, 4096):
+        ids2d = jax.random.randint(
+            jax.random.PRNGKey(4), (N // B, B), 0, w_span, jnp.int32
+        )
+
+        def mk_onehot(n_):
+            def f(ids2d, rows):
+                def body(i, acc):
+                    r = rows + (i * 1e-6).astype(rows.dtype)
+                    return acc + onehot_scatter(ids2d, r, 4, w_span)[0, 0]
+
+                return jax.lax.fori_loop(0, n_, body, jnp.float32(0.0))
+
+            return f
+
+        dt = per_iter(mk_onehot, ids2d, rows)
+        print(
+            f"pallas onehot x4 W={w_span:5d} {dt*1e3:8.2f} ms  "
+            f"{dt/(N*4)*1e9:6.1f} ns/store",
             flush=True,
         )
 

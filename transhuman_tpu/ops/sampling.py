@@ -52,6 +52,25 @@ def project_points(xyz, K, R, T):
     return uv, cam[..., 2]
 
 
+# d_feat backward engine: None = auto (currently the XLA sorted
+# segment-sums everywhere).  The Pallas stream-scatter kernel
+# (kernels/streamscatter.py) wins standalone on TPU (38.5 vs 67 ms/iter at
+# train scale, bit-exact) but measured SLOWER inside the full vmapped train
+# step (284 vs 212 ms/step) — under investigation; OFF until the integrated
+# win is demonstrated.  Tests force True (interpret-mode Pallas on CPU) /
+# False to pin a path.
+USE_STREAM_SCATTER = None
+
+
+def _use_stream_scatter(n, hw, wf):
+    from ..kernels.streamscatter import BLOCK_B, MAX_IDS, W_SPAN
+
+    if USE_STREAM_SCATTER is not None:
+        ok = n % BLOCK_B == 0 and n <= MAX_IDS and hw % W_SPAN == 0 and wf >= 2
+        return USE_STREAM_SCATTER and ok
+    return False
+
+
 def _sample_taps(feat, uv, image_shape):
     """Shared forward machinery: returns (patches (V,N,2,2,C), wx, wy,
     x0i, y0i)."""
@@ -168,24 +187,46 @@ def _sfm_bwd(image_shape, res, g):
     def per_view(i, g_rows, wxy):
         order = jnp.argsort(i)
         i_s = i[order]
-        rows = jnp.take(g_rows, order, axis=0).astype(jnp.float32)
+        rows = jnp.take(g_rows, order, axis=0)
         wxy_s = jnp.take(wxy, order, axis=0)
         wxs, wys = wxy_s[:, :1], wxy_s[:, 1:]
         w4 = ((1 - wxs) * (1 - wys), wxs * (1 - wys),
               (1 - wxs) * wys, wxs * wys)
-        acc = 0.0
-        for off, w in zip((0, 1, Wf, Wf + 1), w4):
-            acc = acc + jax.ops.segment_sum(
-                rows * w,
-                i_s + off,
-                num_segments=Hf * Wf,
-                indices_are_sorted=True,
-            )
-        return acc
 
-    d_feat = jax.vmap(per_view)(
-        base, g, jnp.concatenate([wxf, wyf], axis=-1)
-    ).reshape(V, Hf, Wf, C)
+        def xla_path(_):
+            rows_f = rows.astype(jnp.float32)
+            acc = 0.0
+            for off, w in zip((0, 1, Wf, Wf + 1), w4):
+                acc = acc + jax.ops.segment_sum(
+                    rows_f * w,
+                    i_s + off,
+                    num_segments=Hf * Wf,
+                    indices_are_sorted=True,
+                )
+            return acc
+
+        if _use_stream_scatter(g_rows.shape[0], Hf * Wf, Wf):
+            from ..kernels.streamscatter import dfeat_scatter_sorted
+
+            # exact for every input — residual rows beyond the window
+            # budget are drained in-graph by the kernel's while_loop (NO
+            # lax.cond fallback here: the train step vmaps this, and vmap
+            # runs both branches of a batched cond — measured +73 ms/step)
+            d_flat, _ = dfeat_scatter_sorted(
+                i_s, rows, jnp.concatenate(w4, axis=1), Hf * Wf, Wf
+            )
+            return d_flat
+        return xla_path(None)
+
+    wxy_all = jnp.concatenate([wxf, wyf], axis=-1)
+    if _use_stream_scatter(g.shape[1], Hf * Wf, Wf):
+        # python loop, not vmap: the Pallas scatter kernel uses scalar
+        # prefetch, which does not compose with a vmapped leading axis
+        d_feat = jnp.stack(
+            [per_view(base[v], g[v], wxy_all[v]) for v in range(V)]
+        ).reshape(V, Hf, Wf, C)
+    else:
+        d_feat = jax.vmap(per_view)(base, g, wxy_all).reshape(V, Hf, Wf, C)
 
     # d_uv through the lerp weights (clip boundaries treated as interior;
     # the clamped set has measure zero)
