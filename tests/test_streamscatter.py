@@ -69,14 +69,17 @@ def test_kernel_matches_oracle(name, ids_fn):
 
 def test_residual_multi_round_drain():
     """Forcing r_cap far below the residual count must still be exact: the
-    while_loop drains residuals over multiple rounds (the path a
-    pathological frame takes instead of a cond fallback)."""
+    while_loop drains residuals over multiple rounds (the backstop path a
+    pathological id distribution takes).  A block must span more than two
+    windows to produce residuals now, so mix near and far ids inside one
+    sorted block."""
     rng = np.random.default_rng(11)
-    # park every id just past a window budget boundary -> ~all rows residual
+    far = min(3 * W_SPAN + 400, HW - WF - 2)
     ids = np.sort(
-        (rng.integers(0, HW // W_SPAN, N) * W_SPAN + W_SPAN - 1).clip(
-            0, HW - WF - 2
-        ).astype(np.int32)
+        np.concatenate([
+            np.full(700, 5, np.int32),
+            np.full(N - 700, far, np.int32),
+        ])
     )
     g = rng.standard_normal((N, C)).astype(np.float32)
     w4 = _w4(rng, N)
