@@ -35,9 +35,13 @@ painting AND pixel features), so it kills the entire encoder backward
 too — that is why it measures equal to sg-encoder.
 
 MEASURED (v5e, 2026-08-17): base 213.3 / sg-pixelfeat 104.9 /
-sg-encoder 105.0 / const-encoder 91.7 / cheap-dfeat 129.7 ms/step.
+sg-encoder 105.0 / const-encoder 91.7 / cheap-dfeat 129.7 /
+maxpool-tree 225.9 ms/step.
 => d_feat engine 83.6 ms, encoder-bwd + painting-VJP 24.7 ms, encoder
-fwd 13.3 ms, everything else ~92 ms.
+fwd 13.3 ms, everything else ~92 ms.  maxpool-tree is 12.6 ms WORSE:
+reduce_window's SelectAndScatter transpose is NOT a bottleneck here —
+the 9-slice maximum tree pays more in slice/select traffic than the
+transpose saves.  Closed negative; keep reduce_window.
 
 In-step ablation, not isolated probes: see kernels/streamscatter.py for
 why isolated numbers mislead here.
