@@ -148,3 +148,77 @@ def test_evaluator_summary_loud_when_lpips_missing(tmp_path, rng):
     text = (tmp_path / "summary.txt").read_text()
     assert "n/a (no VGG weights" in text
     assert "ssim(data_range=1.0)" in text
+
+
+def test_vgg16_backbone_conversion_drill(tmp_path):
+    """Full-stack rehearsal of the license-gated backbone path: a random
+    torchvision-format VGG16 `features` state_dict + an LPIPS-format lins
+    state_dict go through the convert_lpips CLI (torch.save -> .pth -> npz),
+    load via load_lpips_params, and the jnp lpips_distance must match an
+    independent torch replica of the vendored LPIPS forward
+    (third_parties/lpips/lpips.py:23-110: scaling layer, 13 convs + relu,
+    2x2 maxpools between stages, channel unit-norm, non-negative 1x1 lin
+    heads, spatial mean, sum over the 5 stages)."""
+    import torch
+    import torch.nn.functional as F
+
+    from transhuman_tpu.tools.convert_lpips import VGG16_FEATURE_IDX, main
+
+    g = torch.Generator().manual_seed(0)
+    vgg_sd, c_in = {}, 3
+    for si, (n_convs, ch) in enumerate(VGG16_STAGES):
+        for li in VGG16_FEATURE_IDX[si]:
+            vgg_sd[f"features.{li}.weight"] = (
+                torch.randn(ch, c_in, 3, 3, generator=g) * 0.05
+            )
+            vgg_sd[f"features.{li}.bias"] = torch.randn(ch, generator=g) * 0.05
+            c_in = ch
+    lins_sd = {
+        f"lin{si}.model.1.weight": torch.randn(
+            1, ch, 1, 1, generator=g
+        ).abs()
+        for si, (_, ch) in enumerate(VGG16_STAGES)
+    }
+
+    vgg_path, lins_path = tmp_path / "vgg.pth", tmp_path / "lins.pth"
+    out_path = tmp_path / "full.npz"
+    torch.save(vgg_sd, vgg_path)
+    torch.save(lins_sd, lins_path)
+    main(["--vgg", str(vgg_path), "--lins", str(lins_path), str(out_path)])
+    params = load_lpips_params(str(out_path))
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, (2, 35, 29, 3)).astype(np.float32)  # odd extents
+    y = rng.uniform(-1, 1, (2, 35, 29, 3)).astype(np.float32)
+    got = np.asarray(lpips_distance(params, x, y))
+
+    # independent torch oracle (NCHW)
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def stages(z):
+        z = (z - shift) / scale
+        outs = []
+        for si, idxs in enumerate(VGG16_FEATURE_IDX):
+            for li in idxs:
+                z = F.relu(
+                    F.conv2d(
+                        z, vgg_sd[f"features.{li}.weight"],
+                        vgg_sd[f"features.{li}.bias"], padding=1,
+                    )
+                )
+            outs.append(z)
+            if si < len(VGG16_FEATURE_IDX) - 1:
+                z = F.max_pool2d(z, 2)
+        return outs
+
+    def unit(z):
+        return z / torch.sqrt(z.pow(2).sum(1, keepdim=True) + 1e-10)
+
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ty = torch.from_numpy(y).permute(0, 3, 1, 2)
+    want = 0.0
+    for si, (gx, gy) in enumerate(zip(stages(tx), stages(ty))):
+        d = (unit(gx) - unit(gy)).pow(2)
+        want = want + (d * lins_sd[f"lin{si}.model.1.weight"]).sum(1).mean((1, 2))
+    np.testing.assert_allclose(got, want.numpy(), rtol=2e-4, atol=1e-6)
