@@ -282,3 +282,51 @@ def test_dropped_keys(converted):
     paths = {"/".join(str(p) for p in path) for path, _ in flat}
     assert not any("cls_token" in p for p in paths)
     assert not any("layer3" in p for p in paths)
+
+
+def test_resnet18_pretrained_import_drill(tmp_path, rng):
+    """Rehearses the license-gated ImageNet-ResNet18 import end to end
+    (reference: torchvision pretrained=True, encoder.py:77-79): a random
+    state_dict in exact torchvision naming goes through the convert_resnet
+    CLI (.pth -> .npz), merges into flax-initialized SpatialEncoder params
+    via apply_pretrained (the train CLI's path, cli/train.py:101-103), and
+    the encoder forward must match the torch replica carrying the same
+    trunk weights (BN in batch-stats mode on both sides)."""
+    from transhuman_tpu.tools.convert_resnet import apply_pretrained, main
+
+    tenc = TEncoder()
+    tenc.train()
+    trunk_sd = tenc.model.state_dict()  # torchvision-format subset keys
+    assert "layer2.0.downsample.0.weight" in trunk_sd
+
+    pth, npz = tmp_path / "resnet18.pth", tmp_path / "resnet18.npz"
+    torch.save(trunk_sd, pth)
+    main([str(pth), str(npz)])
+
+    x = rng.random((2, 32, 32, 3)).astype(np.float32)
+    enc = SpatialEncoder(embed_dim=192)
+    enc_vars = jax.tree.map(np.asarray, enc.init(jax.random.PRNGKey(0), x))
+    # apply_pretrained addresses the full-model tree (params/encoder/...)
+    variables = apply_pretrained(
+        {"params": {"encoder": enc_vars["params"]}}, dict(np.load(npz))
+    )
+
+    # the color/reduction convs have no pretrained source: copy them from
+    # the torch side so the full forwards are comparable
+    p = variables["params"]["encoder"]
+    for name, mod in (("color_conv", tenc.upsample_color),
+                      ("reduction", tenc.reduction_layer)):
+        p[name]["kernel"] = (
+            mod.weight.detach().numpy().transpose(2, 3, 1, 0)
+        )
+        p[name]["bias"] = mod.bias.detach().numpy()
+
+    holder, pixel = enc.apply({"params": p}, x)
+    with torch.no_grad():
+        th, tp = tenc(torch.from_numpy(x).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(
+        np.asarray(pixel), tp.permute(0, 2, 3, 1).numpy(), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(holder), th.permute(0, 2, 3, 1).numpy(), atol=2e-4
+    )
