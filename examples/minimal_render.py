@@ -14,8 +14,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from transhuman_tpu.cli.common import _honor_jax_platforms_env
 from transhuman_tpu.render.pipeline import pad_rays
 from transhuman_tpu.testing import init_params, synthetic_rays, synthetic_setup
+
+_honor_jax_platforms_env()  # some PJRT plugins ignore the env var
 
 
 def main(out_path: str = "render.png", n_rays: int = 1024):

@@ -63,17 +63,31 @@ class FrameRenderer:
         self._cfg, self._pipe = cfg, pipe
         self._render, self.bucket = _make_render(cfg, pipe)
         self._dense = None
+        self._n_frames = 0
+        # getattr: tests drive FrameRenderer with minimal duck-typed cfgs
+        self._profile_dir = getattr(cfg, "profile_dir", "")
 
     def dispatch(self, params, frame, eval_rays):
         """Async: jit dispatch only — device arrays come back unfetched."""
+        # device trace of the 3rd frame (post-compile; SURVEY §5.1 plan).
+        # The eval loop pipelines dispatch(i+1) before fetch(i), so the
+        # ordinal rides the dispatched tuple and the trace stops at the
+        # fetch of the SAME frame it started on.
+        self._n_frames += 1
+        if self._profile_dir and self._n_frames == 3:
+            jax.profiler.start_trace(self._cfg.profile_dir)
         rays = pad_rays(eval_rays.rays, self.bucket)
         frame_d = jax.tree.map(jnp.asarray, frame)
         rays_d = jax.tree.map(jnp.asarray, rays)
-        return self._render(params, frame_d, rays_d), frame_d, rays_d
+        return self._render(params, frame_d, rays_d), frame_d, rays_d, self._n_frames
 
     def fetch(self, params, dispatched, eval_rays):
         """Force outputs to host (blocks); dense re-render on overflow."""
-        out, frame_d, rays_d = dispatched
+        out, frame_d, rays_d, ordinal = dispatched
+        if self._profile_dir and ordinal == 3:
+            jax.block_until_ready(out)
+            jax.profiler.stop_trace()
+            print(f"profiler trace (frame 3) written to {self._profile_dir}")
         n = eval_rays.rays.ray_o.shape[0]
         over = int(np.sum(np.asarray(out.pop("overflow", 0))))
         if over:

@@ -11,6 +11,7 @@ jitted step; SyncBN via the model's axis_name.
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -32,7 +33,26 @@ def stack_samples(samples):
     return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *samples)
 
 
+def _maybe_init_distributed():
+    """Multi-host bring-up (the torch.distributed.launch / env:// analog,
+    train_net.py:116-123).  Explicit env triple JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID initializes directly; on managed
+    clusters (Cloud TPU pods, SLURM) jax.distributed auto-detects, so the
+    triple is only needed for hand-rolled launches."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+        process_id=int(os.environ["JAX_PROCESS_ID"]),
+    )
+
+
 def main(argv=None, dataset=None, smpl=None):
+    _maybe_init_distributed()
     _, cfg = parse_args(argv)
     seed_everything(cfg.seed)
 
@@ -148,10 +168,19 @@ def main(argv=None, dataset=None, smpl=None):
         t_end = time.time()
         for it, batch in enumerate(batches):
             recorder.data_time.update(time.time() - t_end)
+            # device trace of a post-compile window (SURVEY §5.1 plan;
+            # profiling.py has the hooks, this is the CLI wiring)
+            profiling = cfg.profile_dir and epoch == start_epoch
+            if profiling and it == 5:
+                jax.profiler.start_trace(cfg.profile_dir)
 
             state, stats = step_fn(
                 state, batch, jax.random.fold_in(rng0, epoch * cfg.ep_iter + it)
             )
+            if profiling and it == 8:
+                jax.block_until_ready(stats)
+                jax.profiler.stop_trace()
+                print(f"profiler trace (steps 5-8) written to {cfg.profile_dir}")
             recorder.step = epoch * cfg.ep_iter + it
             recorder.batch_time.update(time.time() - t_end)
             t_end = time.time()

@@ -205,6 +205,11 @@ class Config:
     record_dir: str = "data/record"
     result_dir: str = "data/result"
 
+    # --- observability (no reference analog; SURVEY §5.1 TPU plan) ---
+    profile_dir: str = ""  # non-empty: capture a jax.profiler trace of a
+    # steady-state window (train: steps 5-8 of the first epoch; run: the 3rd
+    # frame) into this dir — viewable in TensorBoard/Perfetto/xprof
+
     train: TrainConfig = field(default_factory=TrainConfig)
     test: TestConfig = field(default_factory=TestConfig)
 

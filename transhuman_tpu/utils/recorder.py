@@ -4,9 +4,11 @@ Capability parity with the reference recorder + console line
 (`lib/train/recorder.py:9-126`, `lib/train/trainers/trainer.py:97-115`):
 window-median smoothed scalars recorded every `record_interval` iters, an
 eta/data/batch/lr/mem console line every `log_interval`, and serializable
-state for checkpoint resume.  tensorboardX is replaced by a JSONL metrics
-stream (loadable anywhere; no TB dependency in the image); device memory is
-read from jax's memory_stats when the backend exposes it.
+state for checkpoint resume.  tensorboardX is replaced by two equivalent
+streams written side by side: a JSONL metrics file (loadable anywhere) and
+native TensorBoard event files (utils/tb_writer.py — no tensorboard
+package needed to write them; `tensorboard --logdir` reads them directly).
+Device memory is read from jax's memory_stats when the backend exposes it.
 """
 
 from __future__ import annotations
@@ -67,9 +69,13 @@ class Recorder:
         self.batch_time = SmoothedValue()
         self.data_time = SmoothedValue()
         self._fh = None
+        self._tb = None
         if enabled and record_dir:
             os.makedirs(record_dir, exist_ok=True)
             self._fh = open(os.path.join(record_dir, "metrics.jsonl"), "a")
+            from .tb_writer import TBWriter
+
+            self._tb = TBWriter(record_dir)
 
     # ------------------------------------------------------------------
     def update(self, stats: Dict[str, float]):
@@ -89,6 +95,20 @@ class Recorder:
             row.update(extra)
         self._fh.write(json.dumps(row) + "\n")
         self._fh.flush()
+        if self._tb:
+            scalars = {
+                f"{prefix}/{k}": v
+                for k, v in row.items()
+                if k not in ("step", "epoch", "prefix")
+                and isinstance(v, (int, float))
+            }
+            self._tb.add_scalars(scalars, self.step)
+            self._tb.flush()
+
+    def record_image(self, tag: str, image, prefix: str = "train"):
+        """Image stream (reference recorder.py:89-100 add_image path)."""
+        if self._tb:
+            self._tb.add_image(f"{prefix}/{tag}", image, self.step)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -126,3 +146,6 @@ class Recorder:
         if self._fh:
             self._fh.close()
             self._fh = None
+        if self._tb:
+            self._tb.close()
+            self._tb = None

@@ -24,3 +24,23 @@ def frames_to_video(frame_dir: str, out_path: str, fps: int = 30) -> str:
         return out_path
     except Exception:
         return frame_dir
+
+
+def main(argv=None):
+    """Standalone frames->mp4 tool (parity: gen_freeview_video.py CLI)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=frames_to_video.__doc__)
+    p.add_argument("frame_dir")
+    p.add_argument("out_path")
+    p.add_argument("--fps", type=int, default=30)
+    a = p.parse_args(argv)
+    out = frames_to_video(a.frame_dir, a.out_path, fps=a.fps)
+    if out == a.frame_dir:
+        print(f"no video encoder available; PNG frames left in {out}")
+    else:
+        print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
