@@ -8,22 +8,31 @@ from typing import List
 
 def frames_to_video(frame_dir: str, out_path: str, fps: int = 30) -> str:
     """Encode the sorted PNG frames of `frame_dir` into out_path.  Uses
-    imageio's ffmpeg backend; if no encoder is available, leaves the PNG
-    sequence in place and returns the directory instead."""
+    imageio's ffmpeg backend when present; otherwise falls back to the
+    dependency-free MJPG/AVI writer (`viz/avi.py`), returning the actual
+    path written (`.avi` in the fallback)."""
     frames: List[str] = sorted(
         f for f in os.listdir(frame_dir) if f.endswith(".png")
     )
     if not frames:
         raise ValueError(f"no frames in {frame_dir}")
-    try:
-        import imageio.v2 as imageio
+    import imageio.v2 as imageio
 
+    paths = [os.path.join(frame_dir, f) for f in frames]
+    try:
         with imageio.get_writer(out_path, fps=fps) as w:
-            for f in frames:
-                w.append_data(imageio.imread(os.path.join(frame_dir, f)))
+            for f in paths:
+                w.append_data(imageio.imread(f))
         return out_path
     except Exception:
-        return frame_dir
+        from .avi import MJPGWriter
+
+        first = imageio.imread(paths[0])
+        avi_path = os.path.splitext(out_path)[0] + ".avi"
+        with MJPGWriter(avi_path, first.shape[1], first.shape[0], fps) as w:
+            for f in paths:
+                w.append(imageio.imread(f)[..., :3])
+        return avi_path
 
 
 def main(argv=None):
@@ -36,8 +45,8 @@ def main(argv=None):
     p.add_argument("--fps", type=int, default=30)
     a = p.parse_args(argv)
     out = frames_to_video(a.frame_dir, a.out_path, fps=a.fps)
-    if out == a.frame_dir:
-        print(f"no video encoder available; PNG frames left in {out}")
+    if out != a.out_path:
+        print(f"no ffmpeg backend; wrote MJPG/AVI instead: {out}")
     else:
         print(f"wrote {out}")
 
