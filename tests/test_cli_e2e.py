@@ -89,3 +89,33 @@ def test_resume_from_checkpoint(trained):
     state = train_cli.main(argv2, dataset=train_ds, smpl=smpl)
     # epoch 0 was trained in the previous test; resume does only epoch 1
     assert int(state.step) == 4
+
+
+def test_train_cli_test_flag_runs_val(trained):
+    """train_net.py --test analog: weights-only load + val loop (loss stats
+    averaged over the test loader, evaluator summary, one 'val' record)."""
+    import json
+
+    from transhuman_tpu.cli import train as train_cli
+
+    cfg0, smpl, info, argv, work = trained
+    test_cfg = Config().merge_opts(argv).merge_dict(
+        {"run_mode": "test", "perturb": 0.0}
+    )
+    eval_ds = ZJUDataset(test_cfg, "test", smpl=smpl, human_info=info)
+    val_stats, summary = train_cli.main(
+        ["--test"] + argv + ["use_record", "True"],
+        dataset=eval_ds, smpl=smpl,
+    )
+    assert np.isfinite(val_stats["img_loss"]) and val_stats["img_loss"] >= 0
+    assert val_stats["loss"] == val_stats["img_loss"]
+    assert summary["psnr"] is not None and np.isfinite(summary["psnr"])
+
+    rows = [
+        json.loads(line)
+        for line in open(work / "record" / "metrics.jsonl")
+    ]
+    val_rows = [r for r in rows if r.get("prefix") == "val"]
+    assert val_rows, "no 'val' record written"
+    assert np.isclose(val_rows[-1]["img_loss"], val_stats["img_loss"])
+    assert "psnr" in val_rows[-1]

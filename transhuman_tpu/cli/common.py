@@ -29,10 +29,17 @@ def _honor_jax_platforms_env():
             pass  # backends already initialized
 
 
-def parse_args(argv=None, need_type: bool = False):
+def parse_args(argv=None, need_type: bool = False, allow_test: bool = False):
     _honor_jax_platforms_env()
     p = argparse.ArgumentParser()
     p.add_argument("--cfg_file", default=None)
+    if allow_test:
+        p.add_argument(
+            "--test", action="store_true",
+            help="validation pass instead of training (train_net.py --test):"
+            " weights-only load, val loss stats + evaluator over the test"
+            " split",
+        )
     if need_type:
         p.add_argument(
             "--type",

@@ -51,9 +51,93 @@ def _maybe_init_distributed():
     )
 
 
+def validate(cfg, dataset=None, smpl=None):
+    """`--test` validation pass (train_net.py:90-98 + trainer.val,
+    trainer.py:127-155): weights-only checkpoint load, render every val
+    frame, average per-frame loss stats, run the standard evaluator, and
+    write one unconditional 'val' record.
+
+    Loss-branch note: the reference's val loss goes through NetworkWrapper,
+    whose patch branch indexes `batch['patch_masks']` — a key test batches
+    never carry (can_smpl.py:507) — so under the shipped config
+    (patch.use_patch_sampling True) trainer.val would KeyError; the only
+    branch that can run on val data is the non-patch masked MSE
+    (if_nerf_clight.py:77-81), which is what this computes (`img_loss`).
+    """
+    from ..train.checkpoint import load_params
+    from .common import result_dir
+    from .run import FrameRenderer, _pipelined
+
+    cfg = cfg.merge_dict({"run_mode": "test", "perturb": 0.0})
+    ckpt = load_checkpoint(model_dir(cfg), cfg.test.epoch)
+    pe_table = ckpt.get("pe_table") if ckpt else None
+    model, pipe, smpl, _ = build_runtime(cfg, smpl=smpl, pe_table=pe_table)
+    dataset = dataset or ZJUDataset(cfg, "test", smpl=smpl)
+    params, epoch = load_params(model_dir(cfg), cfg.test.epoch)
+
+    from ..evals.evaluator import Evaluator
+
+    lpips_fn = None
+    if cfg.lpips_weights:
+        from ..models.lpips import load_lpips_params, make_lpips_masked_fn
+
+        lpips_fn = jax.jit(make_lpips_masked_fn(
+            load_lpips_params(cfg.lpips_weights, backbone=cfg.lpips_backbone)
+        ))
+    epoch = int(epoch)  # ckpt pytrees store it as a 0-d array
+    ev = Evaluator(result_dir(cfg), lpips_fn=lpips_fn,
+                   exp_name=cfg.exp_name, epoch=epoch)
+    renderer = FrameRenderer(cfg, pipe)
+    recorder = Recorder(cfg.record_dir, cfg.record_interval, cfg.log_interval,
+                        enabled=jax.process_index() == 0 and cfg.use_record)
+    recorder.epoch = epoch
+
+    items = Loader(
+        lambda i: dataset.get_eval_item(int(i)),
+        dataset.frame_sampler_indices(),
+        prefetch=2,
+    )
+    loss_sum, n_frames = {}, 0
+    for item, out_dev in _pipelined(
+        items,
+        lambda it: renderer.dispatch(params, it.frame, it.eval_rays),
+    ):
+        out = renderer.fetch(params, out_dev, item.eval_rays)
+        # img2mse over the in-box rays (if_nerf_clight.py:77-81)
+        err = out["rgb_map"] - item.eval_rays.rgb
+        stats = {"img_loss": float(np.mean(err * err))}
+        stats["loss"] = stats["img_loss"]
+        hw = item.target_img.shape[:2]
+        r = ev.evaluate_frame(
+            out["rgb_map"], item.eval_rays.rgb, item.eval_rays.mask_at_box, hw,
+            human=item.human, frame_index=item.frame_index,
+            cam_ind=item.cam_ind, input_imgs=np.asarray(item.frame.images),
+            white_bkgd=cfg.white_bkgd,
+        )
+        for k, v in stats.items():
+            loss_sum[k] = loss_sum.get(k, 0.0) + v
+        n_frames += 1
+        print(f"[val {item.human} f{item.frame_index} c{item.cam_ind}] "
+              + "  ".join(f"{k}: {v:.4f}" for k, v in stats.items())
+              + "  " + "  ".join(f"{k}: {v:.4f}" for k, v in r.items()
+                                 if v is not None))
+    val_stats = {k: v / max(n_frames, 1) for k, v in loss_sum.items()}
+    summary = ev.summarize()
+    print("  ".join(f"{k}: {v:.4f}" for k, v in val_stats.items()))
+    print(summary)
+    recorder.record("val", extra={**val_stats, **{
+        k: v for k, v in summary.items()
+        if k not in ("experiment", "epoch") and isinstance(v, (int, float))
+    }}, force=True)
+    recorder.close()
+    return val_stats, summary
+
+
 def main(argv=None, dataset=None, smpl=None):
     _maybe_init_distributed()
-    _, cfg = parse_args(argv)
+    args, cfg = parse_args(argv, allow_test=True)
+    if args.test:
+        return validate(cfg, dataset=dataset, smpl=smpl)
     seed_everything(cfg.seed)
 
     mesh = make_mesh(cfg.mesh_axis_data or None)  # 0 = all devices

@@ -82,8 +82,11 @@ class Recorder:
         for k, v in stats.items():
             self.scalars[k].update(float(v))
 
-    def record(self, prefix: str = "train", extra: Optional[dict] = None):
-        if not self._fh or self.step % self.record_interval != 0:
+    def record(self, prefix: str = "train", extra: Optional[dict] = None,
+               force: bool = False):
+        """force=True bypasses the record_interval gate (the reference's
+        'val' records are unconditional, trainer.py:153-155)."""
+        if not self._fh or (not force and self.step % self.record_interval):
             return
         row = {
             "step": self.step,
@@ -93,6 +96,10 @@ class Recorder:
         }
         if extra:
             row.update(extra)
+        # numpy scalars (e.g. a 0-d epoch from a checkpoint pytree) are not
+        # JSON serializable; coerce them
+        row = {k: (v.item() if hasattr(v, "item") else v)
+               for k, v in row.items()}
         self._fh.write(json.dumps(row) + "\n")
         self._fh.flush()
         if self._tb:
