@@ -62,3 +62,35 @@ def test_load_reference_kmeans_300():
 def test_normalize_positions():
     x = np.array([[-1.5, 0.0, 1.5]])
     np.testing.assert_allclose(normalize_positions(x), [[-1.0, 0.0, 1.0]], atol=1e-6)
+
+
+def test_load_cluster_spec_caches_on_the_fly_kmeans(tmp_path, monkeypatch, capsys):
+    """When kmeans_dir has no dict, the on-the-fly k-means result is cached
+    (content-keyed, reference npy format) so later CLI invocations skip the
+    recluster; the cached spec is identical."""
+    import tempfile
+
+    from transhuman_tpu.cli.common import load_cluster_spec
+    from transhuman_tpu.config import Config
+    from transhuman_tpu.geometry.smpl import SMPLModel
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    cfg = Config().merge_dict({"kmeans_dir": str(tmp_path / "none"),
+                               "num_class": 8})
+    smpl = SMPLModel.synthetic(n_verts=60)
+
+    s1 = load_cluster_spec(cfg, smpl)
+    assert "running k-means" in capsys.readouterr().out
+    cached = list(tmp_path.glob("transhuman_kmeans_8_*.npy"))
+    assert len(cached) == 1
+
+    s2 = load_cluster_spec(cfg, smpl)
+    assert "cached on-the-fly k-means" in capsys.readouterr().out
+    np.testing.assert_array_equal(s1.vert2cluster, s2.vert2cluster)
+    np.testing.assert_array_equal(s1.pool_matrix, s2.pool_matrix)
+
+    # a different template must MISS the cache (content-keyed)
+    smpl2 = SMPLModel.synthetic(n_verts=64)
+    load_cluster_spec(cfg, smpl2)
+    assert "running k-means" in capsys.readouterr().out
+    assert len(list(tmp_path.glob("transhuman_kmeans_8_*.npy"))) == 2

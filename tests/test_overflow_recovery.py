@@ -60,6 +60,65 @@ def test_frame_renderer_recovers_from_overflow(setup, capsys):  # noqa: F811
         )
 
 
+def test_frame_renderer_retunes_after_overflow(setup, capsys):  # noqa: F811
+    """After one overflow the renderer re-derives the ratio from the
+    measured shortfall and rebuilds the compact render, so later frames go
+    through the (fast) compact path instead of paying the dense fallback
+    forever — while staying bit-equal to the dense result."""
+    from transhuman_tpu.cli.run import FrameRenderer
+
+    pipe, params, frame, rays = setup
+    starved = _starved(pipe)
+    dense = starved.render_frame_dense(params, frame, rays)
+
+    r = FrameRenderer(_cfg(), starved)
+    eval_rays = types.SimpleNamespace(rays=rays)
+    r.fetch(params, r.dispatch(params, frame, eval_rays), eval_rays)
+    msg = capsys.readouterr().out
+    assert "auto-tuning compact_ratio" in msg
+    assert starved.compact_ratio > 0.01  # grew from the starved setting
+
+    # the NEXT frame uses the re-tuned compact path: no overflow, no dense
+    out2 = r.fetch(params, r.dispatch(params, frame, eval_rays), eval_rays)
+    msg2 = capsys.readouterr().out
+    assert "clipped" not in msg2 and "auto-tuning" not in msg2
+    for k in ("rgb_map", "acc_map", "depth_map"):
+        np.testing.assert_allclose(
+            out2[k], np.asarray(dense[k]), atol=2e-5,
+            err_msg=f"{k} differs from dense after the re-tuned compact pass",
+        )
+
+
+def test_retune_skips_inflight_frames(setup, capsys):  # noqa: F811
+    """Under pipelining, frame i+1 is dispatched (at the old ratio) before
+    frame i's fetch retunes.  Its fetch must compute the need from the ratio
+    it actually rendered with and must NOT trigger a second rebuild when the
+    retuned ratio already covers it."""
+    from transhuman_tpu.cli.run import FrameRenderer
+
+    pipe, params, frame, rays = setup
+    starved = _starved(pipe)
+    r = FrameRenderer(_cfg(), starved)
+    eval_rays = types.SimpleNamespace(rays=rays)
+
+    d0 = r.dispatch(params, frame, eval_rays)
+    d1 = r.dispatch(params, frame, eval_rays)  # in flight at the old ratio
+    r.fetch(params, d0, eval_rays)
+    msg0 = capsys.readouterr().out
+    assert msg0.count("auto-tuning") == 1
+    tuned = starved.compact_ratio
+
+    out1 = r.fetch(params, d1, eval_rays)
+    msg1 = capsys.readouterr().out
+    assert "clipped" in msg1              # it rendered starved -> dense path
+    assert "auto-tuning" not in msg1      # but no second rebuild
+    assert starved.compact_ratio == tuned
+    dense = starved.render_frame_dense(params, frame, rays)
+    np.testing.assert_allclose(
+        out1["rgb_map"], np.asarray(dense["rgb_map"]), atol=2e-5
+    )
+
+
 def test_frame_renderer_no_fallback_when_healthy(setup):  # noqa: F811
     from transhuman_tpu.cli.run import FrameRenderer
 

@@ -70,8 +70,34 @@ def load_cluster_spec(cfg: Config, smpl: SMPLModel) -> ClusterSpec:
     path = os.path.join(cfg.kmeans_dir, f"kmeans_dict_{cfg.num_class}.npy")
     if os.path.exists(path):
         return ClusterSpec.load_reference_dict(path)
+    # no dict on disk: run k-means once and cache the result, keyed by the
+    # template contents — every CLI invocation (train, --test, run) builds a
+    # runtime, and re-clustering 6890 verts each time is ~minutes of host
+    # work on small machines.  The cache file uses the reference npy format,
+    # so it doubles as a starter kmeans_dict.
+    import hashlib
+    import tempfile
+
+    v = np.ascontiguousarray(smpl.v_template, np.float32)
+    key = hashlib.sha256(v.tobytes() + str(cfg.num_class).encode()).hexdigest()[:16]
+    cache = os.path.join(
+        tempfile.gettempdir(), f"transhuman_kmeans_{cfg.num_class}_{key}.npy"
+    )
+    if os.path.exists(cache):
+        print(f"WARNING: {path} not found; using cached on-the-fly k-means "
+              f"({cache}).")
+        return ClusterSpec.load_reference_dict(cache)
     print(f"WARNING: {path} not found; running k-means over the template.")
-    return ClusterSpec.from_kmeans(smpl.v_template, cfg.num_class)
+    spec = ClusterSpec.from_kmeans(v, cfg.num_class)
+    try:
+        # np.save appends .npy when missing — keep the suffix so the atomic
+        # replace sees the file that was actually written
+        tmp = cache.replace(".npy", f".{os.getpid()}.tmp.npy")
+        spec.save_reference_dict(tmp)
+        os.replace(tmp, cache)  # atomic: concurrent processes race safely
+    except OSError:
+        pass  # read-only tmp: caching is best-effort
+    return spec
 
 
 def build_runtime(

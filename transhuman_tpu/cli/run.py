@@ -57,7 +57,10 @@ class FrameRenderer:
     through the dense (compaction-off) path BEFORE anything is written, so
     no code path can ship rgb holes — matching the reference's
     always-complete scatter (if_clight_renderer.py:468-482).  The dense
-    fallback is jitted lazily: a healthy run never pays its compile."""
+    fallback is jitted lazily: a healthy run never pays its compile.
+    After an overflow the compact ratio is re-derived from the measured
+    shortfall and the compact render rebuilt once (_retune), so the rest of
+    the run goes back to the fast path instead of the ~5x-slower dense."""
 
     def __init__(self, cfg, pipe):
         self._cfg, self._pipe = cfg, pipe
@@ -79,11 +82,15 @@ class FrameRenderer:
         rays = pad_rays(eval_rays.rays, self.bucket)
         frame_d = jax.tree.map(jnp.asarray, frame)
         rays_d = jax.tree.map(jnp.asarray, rays)
-        return self._render(params, frame_d, rays_d), frame_d, rays_d, self._n_frames
+        # the compact ratio THIS dispatch rendered with rides along: under
+        # pipelining, a fetch-time retune can land between a frame's
+        # dispatch and its fetch, and the retune math needs the real one
+        return (self._render(params, frame_d, rays_d), frame_d, rays_d,
+                self._n_frames, self._pipe.compact_ratio)
 
     def fetch(self, params, dispatched, eval_rays):
         """Force outputs to host (blocks); dense re-render on overflow."""
-        out, frame_d, rays_d, ordinal = dispatched
+        out, frame_d, rays_d, ordinal, ratio_used = dispatched
         if self._profile_dir and ordinal == 3:
             jax.block_until_ready(out)
             jax.profiler.stop_trace()
@@ -93,14 +100,39 @@ class FrameRenderer:
         if over:
             print(
                 f"WARNING: compaction capacity clipped {over} active points;"
-                " re-rendering this frame with compaction off (raise"
-                " cfg.compact_ratio to avoid the slow fallback)"
+                " re-rendering this frame with compaction off"
             )
             if self._dense is None:
                 self._dense, _ = _make_render(self._cfg, self._pipe, dense=True)
             out = dict(self._dense(params, frame_d, rays_d))
             out.pop("overflow", None)
+            self._retune(rays_d, over, ratio_used)
         return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+    def _retune(self, rays_d, over: int, ratio_used: float):
+        """Self-tuning compaction: after an overflow, re-derive the ratio
+        from the measured shortfall and rebuild the compact render once —
+        one recompile instead of paying the ~5x-slower dense path on every
+        remaining frame (the reference never tunes anything here because its
+        shapes are dynamic, if_clight_renderer.py:440-444).  Converges: the
+        ratio only grows, and at 1.0 overflow is impossible (capacity >= n)."""
+        pipe = self._pipe
+        s = pipe.n_samples
+        n_flat = rays_d.ray_o.shape[0] * s
+        cp = pipe.chunk_rays * s
+        cap = -(-int(ratio_used * n_flat) // cp) * cp  # capacity AT dispatch
+        new_ratio = min(1.0, 1.15 * (cap + over) / n_flat)
+        if new_ratio <= pipe.compact_ratio:
+            # a frame dispatched before an earlier retune landed; the
+            # current ratio already covers the measured need — no rebuild
+            return
+        print(
+            f"auto-tuning compact_ratio {pipe.compact_ratio:.4f} -> "
+            f"{new_ratio:.4f} (measured need {(cap + over) / n_flat:.4f} "
+            "+ 15% margin); recompiling the compact render once"
+        )
+        pipe.compact_ratio = new_ratio
+        self._render, self.bucket = _make_render(self._cfg, pipe)
 
 
 def _pipelined(items, dispatch):
