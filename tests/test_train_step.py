@@ -184,6 +184,23 @@ def test_step_nonpatch_mode(tiny):
     assert sum(jax.tree.leaves(diff)) > 0
 
 
+def test_nonpatch_loss_ignores_l2rec_weight(tiny):
+    """The reference's non-patch branch adds img_loss UNWEIGHTED —
+    l2rec_weight only scales the patch MSE (if_nerf_clight.py:65-81)."""
+    pipe, params = tiny
+    tx, _ = make_optimizer(iters_per_epoch=2)
+    batch = stack_samples([make_sample_nonpatch(0)])
+    state = init_state(params, tx)
+    losses = []
+    for w in (1.0, 7.0):
+        step = make_train_step(
+            pipe, tx, donate=False, patch_mode=False, l2_weight=w
+        )
+        _, stats = step(state, batch, jax.random.PRNGKey(0))
+        losses.append(float(stats["loss"]))
+    assert losses[0] == losses[1]
+
+
 def test_perturb_zero_is_rng_independent(tiny):
     """perturb=False (cfg.perturb=0) removes the stratified jitter: the loss
     is identical under different rng keys; perturb=True is not

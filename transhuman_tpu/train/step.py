@@ -96,7 +96,9 @@ def make_train_step(
             params, sample.frame, sample.rays, rng, sample_jitter=perturb
         )
         if not patch_mode:
-            return random_ray_losses(out["rgb_map"], sample, l2_weight)
+            # the reference's non-patch branch adds img_loss UNWEIGHTED
+            # (if_nerf_clight.py:77-81; l2rec_weight only scales the patch MSE)
+            return random_ray_losses(out["rgb_map"], sample)
         return patch_losses(
             out["rgb_map"], sample, lpips_fn, l2_weight, lpips_weight
         )
