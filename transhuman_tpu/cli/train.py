@@ -23,7 +23,7 @@ from ..data.zju import ZJUDataset
 from ..models.lpips import load_lpips_params, make_lpips_fn
 from ..parallel import make_mesh, shard_batch
 from ..train import make_optimizer, make_train_step
-from ..train.checkpoint import load_checkpoint, save_checkpoint
+from ..train.checkpoint import AsyncCheckpointer, load_checkpoint
 from ..train.step import init_state
 from ..utils.recorder import Recorder
 from .common import build_runtime, model_dir, parse_args, seed_everything
@@ -179,6 +179,7 @@ def main(argv=None, dataset=None, smpl=None):
     # tensorboard writer gate, recorder.py:49); the console line always prints
     recorder = Recorder(cfg.record_dir, cfg.record_interval, cfg.log_interval,
                         enabled=jax.process_index() == 0 and cfg.use_record)
+    checkpointer = AsyncCheckpointer()
 
     # init / resume
     start_epoch = 0
@@ -283,10 +284,13 @@ def main(argv=None, dataset=None, smpl=None):
                 "step": int(state.step),
                 "recorder": recorder.state_dict(),
             }
-            save_checkpoint(
+            # async: only the device->host snapshot blocks; pickling + the
+            # atomic writes overlap the next epoch (train/checkpoint.py)
+            checkpointer.save(
                 mdir, payload, epoch,
                 save_epoch_copy=(epoch + 1) % cfg.save_freq == 0,
             )
+    checkpointer.wait()
     recorder.close()
     return state
 

@@ -27,17 +27,8 @@ def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
 
 
-def save_checkpoint(
-    model_dir: str,
-    payload: dict,
-    epoch: int,
-    save_epoch_copy: bool = True,
-):
-    """payload: dict with at least {'params': ...}; we add 'epoch'."""
+def _write_blobs(model_dir: str, data: dict, epoch: int, save_epoch_copy: bool):
     os.makedirs(model_dir, exist_ok=True)
-    data = dict(payload)
-    data["epoch"] = epoch
-    data = _to_numpy(data)
     blob = pickle.dumps(data, protocol=pickle.HIGHEST_PROTOCOL)
 
     def write(path):
@@ -49,6 +40,62 @@ def save_checkpoint(
     write(os.path.join(model_dir, "latest.ckpt"))
     if save_epoch_copy:
         write(os.path.join(model_dir, f"ep{epoch}.ckpt"))
+
+
+def save_checkpoint(
+    model_dir: str,
+    payload: dict,
+    epoch: int,
+    save_epoch_copy: bool = True,
+):
+    """payload: dict with at least {'params': ...}; we add 'epoch'."""
+    data = _to_numpy(dict(payload, epoch=epoch))
+    _write_blobs(model_dir, data, epoch, save_epoch_copy)
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint serialization + file IO with training.
+
+    The reference blocks the train loop on `torch.save` (net_utils.py:
+    335-348); here only the device->host fetch is synchronous — the state
+    must be snapshotted before the next (buffer-donating) step reuses it —
+    while pickling and the atomic writes run on ONE background worker.  A
+    single worker keeps saves ordered, so `latest.ckpt` can never regress
+    to an older epoch when a slow save finishes after a newer one.  Worker
+    errors are re-raised at the next `save()`/`wait()` — a failed write
+    must not be silent.  Call `wait()` before reading the files back or
+    exiting."""
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._ex = ThreadPoolExecutor(max_workers=1)
+        self._pending = []
+
+    def _drain(self, block: bool):
+        rest = []
+        for f in self._pending:
+            if block or f.done():
+                f.result()  # re-raise worker failures
+            else:
+                rest.append(f)
+        self._pending = rest
+
+    def save(self, model_dir: str, payload: dict, epoch: int,
+             save_epoch_copy: bool = True):
+        self._drain(block=False)
+        # snapshot NOW, with a forced copy: device_get is zero-copy for
+        # host-resident leaves, and the caller (or a donating train step)
+        # may overwrite the live buffers before the worker pickles them
+        data = jax.tree.map(
+            lambda x: np.array(jax.device_get(x)), dict(payload, epoch=epoch)
+        )
+        self._pending.append(
+            self._ex.submit(_write_blobs, model_dir, data, epoch, save_epoch_copy)
+        )
+
+    def wait(self):
+        self._drain(block=True)
 
 
 def _available_epochs(model_dir: str):
