@@ -66,22 +66,21 @@ def test_normalize_positions():
 
 def test_load_cluster_spec_caches_on_the_fly_kmeans(tmp_path, monkeypatch, capsys):
     """When kmeans_dir has no dict, the on-the-fly k-means result is cached
-    (content-keyed, reference npy format) so later CLI invocations skip the
-    recluster; the cached spec is identical."""
-    import tempfile
-
+    (content-keyed, pickle-free npz, user-owned dir) so later CLI invocations
+    skip the recluster; the cached spec is identical; a corrupt cache file is
+    ignored, not loaded."""
     from transhuman_tpu.cli.common import load_cluster_spec
     from transhuman_tpu.config import Config
     from transhuman_tpu.geometry.smpl import SMPLModel
 
-    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setenv("TRANSHUMAN_CACHE_DIR", str(tmp_path))
     cfg = Config().merge_dict({"kmeans_dir": str(tmp_path / "none"),
                                "num_class": 8})
     smpl = SMPLModel.synthetic(n_verts=60)
 
     s1 = load_cluster_spec(cfg, smpl)
     assert "running k-means" in capsys.readouterr().out
-    cached = list(tmp_path.glob("transhuman_kmeans_8_*.npy"))
+    cached = list(tmp_path.glob("kmeans_8_*.npz"))
     assert len(cached) == 1
 
     s2 = load_cluster_spec(cfg, smpl)
@@ -93,4 +92,11 @@ def test_load_cluster_spec_caches_on_the_fly_kmeans(tmp_path, monkeypatch, capsy
     smpl2 = SMPLModel.synthetic(n_verts=64)
     load_cluster_spec(cfg, smpl2)
     assert "running k-means" in capsys.readouterr().out
-    assert len(list(tmp_path.glob("transhuman_kmeans_8_*.npy"))) == 2
+    assert len(list(tmp_path.glob("kmeans_8_*.npz"))) == 2
+
+    # a corrupt/planted cache file must be ignored (recluster, no crash)
+    cached[0].write_bytes(b"not an npz")
+    s3 = load_cluster_spec(cfg, smpl)
+    out = capsys.readouterr().out
+    assert "ignoring unreadable k-means cache" in out
+    np.testing.assert_array_equal(s1.vert2cluster, s3.vert2cluster)

@@ -153,3 +153,27 @@ def test_extract_mesh_recovers_from_overflow(setup, capsys):  # noqa: F811
     np.testing.assert_allclose(cube, cube_d, atol=1e-6)
     np.testing.assert_allclose(verts, verts_d, atol=1e-6)
     np.testing.assert_array_equal(tris, tris_d)
+
+
+def test_retune_need_is_per_shard_max(monkeypatch):
+    """Under ray sharding (mesh_axis_rays > 1) capacity is PER SHARD
+    (pipeline._compact_plan computes it from the local flat count inside
+    shard_map), so the retuned ratio must cover the WORST shard — tuning to
+    the global average would under-provision a body-concentrated shard and
+    re-pay the dense fallback + recompile on every similar frame."""
+    import transhuman_tpu.cli.run as run_cli
+
+    monkeypatch.setattr(
+        run_cli, "_make_render", lambda cfg, pipe, dense=False: (None, 8)
+    )
+    pipe = types.SimpleNamespace(n_samples=4, chunk_rays=2, compact_ratio=0.25)
+    r = run_cli.FrameRenderer(types.SimpleNamespace(), pipe)
+    # 2 shards x 64 rays x 4 samples: local n_flat = 256, chunk = 8
+    rays_d = types.SimpleNamespace(ray_o=np.zeros((128, 3), np.float32))
+    cap = -(-int(0.25 * 256) // 8) * 8  # 64
+    # shard A clipped 100, shard B clipped 4 -> need from the max, not mean
+    r._retune(rays_d, np.array([100, 4]), ratio_used=0.25)
+    want = min(1.0, 1.15 * (cap + 100) / 256)
+    assert pipe.compact_ratio == pytest.approx(want)
+    avg_would_be = 1.15 * (cap + 52) / 256
+    assert pipe.compact_ratio > avg_would_be

@@ -66,6 +66,18 @@ def load_smpl(cfg: Config) -> SMPLModel:
         return SMPLModel.synthetic()
 
 
+def _cache_dir() -> str:
+    """User-owned cache dir (never a world-writable shared tmp: the cache is
+    trusted input, see load_cluster_spec).  Override: TRANSHUMAN_CACHE_DIR."""
+    d = os.environ.get("TRANSHUMAN_CACHE_DIR")
+    if not d:
+        d = os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "transhuman_tpu",
+        )
+    return d
+
+
 def load_cluster_spec(cfg: Config, smpl: SMPLModel) -> ClusterSpec:
     path = os.path.join(cfg.kmeans_dir, f"kmeans_dict_{cfg.num_class}.npy")
     if os.path.exists(path):
@@ -73,30 +85,35 @@ def load_cluster_spec(cfg: Config, smpl: SMPLModel) -> ClusterSpec:
     # no dict on disk: run k-means once and cache the result, keyed by the
     # template contents — every CLI invocation (train, --test, run) builds a
     # runtime, and re-clustering 6890 verts each time is ~minutes of host
-    # work on small machines.  The cache file uses the reference npy format,
-    # so it doubles as a starter kmeans_dict.
+    # work on small machines.  The cache is a pickle-FREE npz (just the
+    # assignment vector) in a user-owned dir: loading a pickle from a
+    # predictable world-writable path would execute whatever another local
+    # user planted there.
     import hashlib
-    import tempfile
 
     v = np.ascontiguousarray(smpl.v_template, np.float32)
     key = hashlib.sha256(v.tobytes() + str(cfg.num_class).encode()).hexdigest()[:16]
-    cache = os.path.join(
-        tempfile.gettempdir(), f"transhuman_kmeans_{cfg.num_class}_{key}.npy"
-    )
+    cache = os.path.join(_cache_dir(), f"kmeans_{cfg.num_class}_{key}.npz")
     if os.path.exists(cache):
-        print(f"WARNING: {path} not found; using cached on-the-fly k-means "
-              f"({cache}).")
-        return ClusterSpec.load_reference_dict(cache)
+        try:
+            with np.load(cache, allow_pickle=False) as z:
+                spec = ClusterSpec(z["vert2cluster"], int(z["num"]))
+            print(f"WARNING: {path} not found; using cached on-the-fly "
+                  f"k-means ({cache}).")
+            return spec
+        except Exception as e:  # stale/truncated cache: recluster
+            print(f"WARNING: ignoring unreadable k-means cache {cache}: {e}")
     print(f"WARNING: {path} not found; running k-means over the template.")
     spec = ClusterSpec.from_kmeans(v, cfg.num_class)
     try:
-        # np.save appends .npy when missing — keep the suffix so the atomic
-        # replace sees the file that was actually written
-        tmp = cache.replace(".npy", f".{os.getpid()}.tmp.npy")
-        spec.save_reference_dict(tmp)
+        os.makedirs(_cache_dir(), exist_ok=True)
+        tmp = cache + f".{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, vert2cluster=spec.vert2cluster,
+                     num=np.int64(spec.num_clusters))
         os.replace(tmp, cache)  # atomic: concurrent processes race safely
     except OSError:
-        pass  # read-only tmp: caching is best-effort
+        pass  # read-only home: caching is best-effort
     return spec
 
 

@@ -96,39 +96,49 @@ class FrameRenderer:
             jax.profiler.stop_trace()
             print(f"profiler trace (frame 3) written to {self._profile_dir}")
         n = eval_rays.rays.ray_o.shape[0]
-        over = int(np.sum(np.asarray(out.pop("overflow", 0))))
-        if over:
+        # (n_shards,) under ray sharding (one count per shard), (1,) otherwise
+        over_per_shard = np.atleast_1d(np.asarray(out.pop("overflow", 0)))
+        if over_per_shard.sum():
             print(
-                f"WARNING: compaction capacity clipped {over} active points;"
+                f"WARNING: compaction capacity clipped "
+                f"{int(over_per_shard.sum())} active points;"
                 " re-rendering this frame with compaction off"
             )
             if self._dense is None:
                 self._dense, _ = _make_render(self._cfg, self._pipe, dense=True)
             out = dict(self._dense(params, frame_d, rays_d))
             out.pop("overflow", None)
-            self._retune(rays_d, over, ratio_used)
+            self._retune(rays_d, over_per_shard, ratio_used)
         return {k: np.asarray(v)[:n] for k, v in out.items()}
 
-    def _retune(self, rays_d, over: int, ratio_used: float):
+    def _retune(self, rays_d, over_per_shard: np.ndarray, ratio_used: float):
         """Self-tuning compaction: after an overflow, re-derive the ratio
         from the measured shortfall and rebuild the compact render once —
         one recompile instead of paying the ~5x-slower dense path on every
         remaining frame (the reference never tunes anything here because its
         shapes are dynamic, if_clight_renderer.py:440-444).  Converges: the
-        ratio only grows, and at 1.0 overflow is impossible (capacity >= n)."""
+        ratio only grows, and at 1.0 overflow is impossible (capacity >= n).
+
+        Capacity is PER SHARD under ray sharding (pipeline._compact_plan
+        computes m from the local flat count inside shard_map), so the need
+        is the max over shards — tuning to the global average would keep
+        under-provisioning a shard whose rays concentrate on the body and
+        re-pay the dense fallback + recompile every similar frame."""
         pipe = self._pipe
         s = pipe.n_samples
-        n_flat = rays_d.ray_o.shape[0] * s
+        n_shards = over_per_shard.shape[0]
+        n_flat = rays_d.ray_o.shape[0] // n_shards * s  # local flat count
         cp = pipe.chunk_rays * s
         cap = -(-int(ratio_used * n_flat) // cp) * cp  # capacity AT dispatch
-        new_ratio = min(1.0, 1.15 * (cap + over) / n_flat)
+        worst = int(over_per_shard.max())
+        new_ratio = min(1.0, 1.15 * (cap + worst) / n_flat)
         if new_ratio <= pipe.compact_ratio:
             # a frame dispatched before an earlier retune landed; the
             # current ratio already covers the measured need — no rebuild
             return
         print(
             f"auto-tuning compact_ratio {pipe.compact_ratio:.4f} -> "
-            f"{new_ratio:.4f} (measured need {(cap + over) / n_flat:.4f} "
+            f"{new_ratio:.4f} (measured need {(cap + worst) / n_flat:.4f} "
             "+ 15% margin); recompiling the compact render once"
         )
         pipe.compact_ratio = new_ratio
@@ -149,29 +159,35 @@ def _pipelined(items, dispatch):
         yield prev
 
 
-def run_evaluate(cfg, pipe, model, smpl, dataset=None):
-    dataset = dataset or ZJUDataset(cfg, "test", smpl=smpl)
-    params, epoch = load_params(model_dir(cfg), cfg.test.epoch)
-    lpips_fn = None
-    if cfg.lpips_weights:
-        from ..models.lpips import load_lpips_params, make_lpips_masked_fn
+def make_eval_lpips_fn(cfg):
+    """Masked/bucketed LPIPS for the Evaluator (None when no weights): the
+    Evaluator pads bbox crops to size buckets -> one compile per bucket, not
+    one per frame shape."""
+    if not cfg.lpips_weights:
+        return None
+    from ..models.lpips import load_lpips_params, make_lpips_masked_fn
 
-        # masked/bucketed form: the Evaluator pads bbox crops to size
-        # buckets -> one compile per bucket, not one per frame shape
-        lpips_fn = jax.jit(
-            make_lpips_masked_fn(
-                load_lpips_params(cfg.lpips_weights, backbone=cfg.lpips_backbone)
-            )
+    return jax.jit(
+        make_lpips_masked_fn(
+            load_lpips_params(cfg.lpips_weights, backbone=cfg.lpips_backbone)
         )
-    ev = Evaluator(result_dir(cfg), lpips_fn=lpips_fn,
-                   exp_name=cfg.exp_name, epoch=epoch)
-    renderer = FrameRenderer(cfg, pipe)
+    )
 
+
+def evaluate_frames(cfg, pipe, params, dataset, ev, per_frame=None, tag=""):
+    """Shared pipelined evaluation loop (run_evaluate AND the train CLI's
+    --test validation pass): render every FrameSampler frame with overflow
+    auto-recovery, feed the evaluator, print one line per frame.
+
+    per_frame(item, out) -> extra stats dict, accumulated into a mean.
+    Returns (evaluator summary, mean extra stats)."""
+    renderer = FrameRenderer(cfg, pipe)
     items = Loader(
         lambda i: dataset.get_eval_item(int(i)),
         dataset.frame_sampler_indices(),
         prefetch=2,
     )  # overlap host decode/undistort with the device render
+    extra_sum, n_frames = {}, 0
     for item, out_dev in _pipelined(
         items,
         lambda it: renderer.dispatch(params, it.frame, it.eval_rays),
@@ -184,9 +200,24 @@ def run_evaluate(cfg, pipe, model, smpl, dataset=None):
             cam_ind=item.cam_ind, input_imgs=np.asarray(item.frame.images),
             white_bkgd=cfg.white_bkgd,
         )
-        print(f"[{item.human} f{item.frame_index} c{item.cam_ind}] "
+        extra = per_frame(item, out) if per_frame else {}
+        for k, v in extra.items():
+            extra_sum[k] = extra_sum.get(k, 0.0) + v
+        n_frames += 1
+        print(f"[{tag}{item.human} f{item.frame_index} c{item.cam_ind}] "
+              + "  ".join(f"{k}: {v:.4f}" for k, v in extra.items())
+              + ("  " if extra else "")
               + "  ".join(f"{k}: {v:.4f}" for k, v in r.items() if v is not None))
     summary = ev.summarize()
+    return summary, {k: v / max(n_frames, 1) for k, v in extra_sum.items()}
+
+
+def run_evaluate(cfg, pipe, model, smpl, dataset=None):
+    dataset = dataset or ZJUDataset(cfg, "test", smpl=smpl)
+    params, epoch = load_params(model_dir(cfg), cfg.test.epoch)
+    ev = Evaluator(result_dir(cfg), lpips_fn=make_eval_lpips_fn(cfg),
+                   exp_name=cfg.exp_name, epoch=epoch)
+    summary, _ = evaluate_frames(cfg, pipe, params, dataset, ev)
     print(summary)
     return summary
 

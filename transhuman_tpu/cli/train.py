@@ -66,7 +66,7 @@ def validate(cfg, dataset=None, smpl=None):
     """
     from ..train.checkpoint import load_params
     from .common import result_dir
-    from .run import FrameRenderer, _pipelined
+    from .run import evaluate_frames, make_eval_lpips_fn
 
     cfg = cfg.merge_dict({"run_mode": "test", "perturb": 0.0})
     ckpt = load_checkpoint(model_dir(cfg), cfg.test.epoch)
@@ -77,52 +77,22 @@ def validate(cfg, dataset=None, smpl=None):
 
     from ..evals.evaluator import Evaluator
 
-    lpips_fn = None
-    if cfg.lpips_weights:
-        from ..models.lpips import load_lpips_params, make_lpips_masked_fn
-
-        lpips_fn = jax.jit(make_lpips_masked_fn(
-            load_lpips_params(cfg.lpips_weights, backbone=cfg.lpips_backbone)
-        ))
     epoch = int(epoch)  # ckpt pytrees store it as a 0-d array
-    ev = Evaluator(result_dir(cfg), lpips_fn=lpips_fn,
+    ev = Evaluator(result_dir(cfg), lpips_fn=make_eval_lpips_fn(cfg),
                    exp_name=cfg.exp_name, epoch=epoch)
-    renderer = FrameRenderer(cfg, pipe)
     recorder = Recorder(cfg.record_dir, cfg.record_interval, cfg.log_interval,
                         enabled=jax.process_index() == 0 and cfg.use_record)
     recorder.epoch = epoch
 
-    items = Loader(
-        lambda i: dataset.get_eval_item(int(i)),
-        dataset.frame_sampler_indices(),
-        prefetch=2,
-    )
-    loss_sum, n_frames = {}, 0
-    for item, out_dev in _pipelined(
-        items,
-        lambda it: renderer.dispatch(params, it.frame, it.eval_rays),
-    ):
-        out = renderer.fetch(params, out_dev, item.eval_rays)
+    def val_loss(item, out):
         # img2mse over the in-box rays (if_nerf_clight.py:77-81)
         err = out["rgb_map"] - item.eval_rays.rgb
-        stats = {"img_loss": float(np.mean(err * err))}
-        stats["loss"] = stats["img_loss"]
-        hw = item.target_img.shape[:2]
-        r = ev.evaluate_frame(
-            out["rgb_map"], item.eval_rays.rgb, item.eval_rays.mask_at_box, hw,
-            human=item.human, frame_index=item.frame_index,
-            cam_ind=item.cam_ind, input_imgs=np.asarray(item.frame.images),
-            white_bkgd=cfg.white_bkgd,
-        )
-        for k, v in stats.items():
-            loss_sum[k] = loss_sum.get(k, 0.0) + v
-        n_frames += 1
-        print(f"[val {item.human} f{item.frame_index} c{item.cam_ind}] "
-              + "  ".join(f"{k}: {v:.4f}" for k, v in stats.items())
-              + "  " + "  ".join(f"{k}: {v:.4f}" for k, v in r.items()
-                                 if v is not None))
-    val_stats = {k: v / max(n_frames, 1) for k, v in loss_sum.items()}
-    summary = ev.summarize()
+        img_loss = float(np.mean(err * err))
+        return {"img_loss": img_loss, "loss": img_loss}
+
+    summary, val_stats = evaluate_frames(
+        cfg, pipe, params, dataset, ev, per_frame=val_loss, tag="val "
+    )
     print("  ".join(f"{k}: {v:.4f}" for k, v in val_stats.items()))
     print(summary)
     recorder.record("val", extra={**val_stats, **{
@@ -256,16 +226,22 @@ def main(argv=None, dataset=None, smpl=None):
             # device trace of a post-compile window (SURVEY §5.1 plan;
             # profiling.py has the hooks, this is the CLI wiring)
             profiling = cfg.profile_dir and epoch == start_epoch
-            if profiling and it == 5:
+            # short-epoch safe: the window shrinks with ep_iter so the stop
+            # iteration always exists (a started trace must ALWAYS be stopped
+            # in the same epoch or it silently runs for the whole job)
+            prof_stop = min(8, cfg.ep_iter - 1)
+            prof_start = max(0, prof_stop - 3)
+            if profiling and it == prof_start:
                 jax.profiler.start_trace(cfg.profile_dir)
 
             state, stats = step_fn(
                 state, batch, jax.random.fold_in(rng0, epoch * cfg.ep_iter + it)
             )
-            if profiling and it == 8:
+            if profiling and it == prof_stop:
                 jax.block_until_ready(stats)
                 jax.profiler.stop_trace()
-                print(f"profiler trace (steps 5-8) written to {cfg.profile_dir}")
+                print(f"profiler trace (steps {prof_start}-{prof_stop}) "
+                      f"written to {cfg.profile_dir}")
             recorder.step = epoch * cfg.ep_iter + it
             recorder.batch_time.update(time.time() - t_end)
             t_end = time.time()

@@ -323,8 +323,17 @@ class ZJUDataset:
         # and flip the channel the != 0 test reads.
         import cv2
 
+        def imread_rgb(p):
+            # cv2.imread returns None (no exception) for missing/corrupt
+            # files; raise with the path — inside a Loader worker a bare
+            # cv2.error surfaces far from the offending frame
+            img = cv2.imread(p)
+            if img is None:
+                raise FileNotFoundError(f"unreadable image: {p}")
+            return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
         # ---- target view (mask lives under the image's own camera dir)
-        tgt_img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        tgt_img = imread_rgb(path)
         tgt_cam_dir = os.path.basename(os.path.dirname(path))
         tgt_msk_raw = self._mark_border(
             self._load_mask(human, tgt_cam_dir, frame_file)
@@ -345,7 +354,7 @@ class ZJUDataset:
             ipath = os.path.join(
                 self.data_root, human, self._cam_dir(human, cam_id), frame_file
             )
-            iimg = cv2.cvtColor(cv2.imread(ipath), cv2.COLOR_BGR2RGB)
+            iimg = imread_rgb(ipath)
             imsk = self._load_mask(human, self._cam_dir(human, cam_id), frame_file)
             iimg, imsk, iK, iR, iT = self._process(iimg, imsk, human, v, jseed)
             imgs.append(iimg)

@@ -116,16 +116,24 @@ def get_near_far(bounds: np.ndarray, ray_o: np.ndarray, ray_d: np.ndarray):
     return near.astype(np.float32), far.astype(np.float32), mask_at_box
 
 
-_RAY_CACHE: dict = {}
+_RAY_CACHE: "OrderedDict" = None  # built lazily below
+_RAY_CACHE_BYTES = 256 * 1024 * 1024  # LRU budget (one 512x512 grid = 6 MB)
 
 
 def get_rays_cached(H, W, K, R, T):
-    """Per-camera full-image ray grid, cached by (size, intrinsics, pose).
+    """Per-camera full-image ray grid, LRU-cached by (size, intrinsics, pose).
 
     Cameras are fixed for a dataset, so the grid rebuild (~24 ms/sample at
-    512x512 on one core) is pure waste on the train input path.  Returned
-    arrays are shared read-only views — callers must not mutate them
-    (get_near_far already copies before its in-place clamp)."""
+    512x512 on one core) is pure waste on the train input path.  Eviction is
+    byte-bounded LRU (a count bound would hold gigabytes at 1024x1024, and
+    clearing everything would also evict the cameras currently iterating).
+    Returned arrays are shared read-only views — callers must not mutate
+    them (get_near_far already copies before its in-place clamp)."""
+    global _RAY_CACHE
+    if _RAY_CACHE is None:
+        from collections import OrderedDict
+
+        _RAY_CACHE = OrderedDict()
     K = np.asarray(K)
     key = (
         H, W, K.tobytes(), np.asarray(R).tobytes(), np.asarray(T).tobytes()
@@ -135,9 +143,13 @@ def get_rays_cached(H, W, K, R, T):
         ro, rd = get_rays(H, W, K, R, T)
         ro.setflags(write=False)
         rd.setflags(write=False)
-        if len(_RAY_CACHE) > 256:  # bound the cache (multi-human evals)
-            _RAY_CACHE.clear()
         _RAY_CACHE[key] = hit = (ro, rd)
+        total = sum(a.nbytes + b.nbytes for a, b in _RAY_CACHE.values())
+        while total > _RAY_CACHE_BYTES and len(_RAY_CACHE) > 1:
+            _, (a, b) = _RAY_CACHE.popitem(last=False)  # oldest first
+            total -= a.nbytes + b.nbytes
+    else:
+        _RAY_CACHE.move_to_end(key)
     return hit
 
 

@@ -5,6 +5,8 @@ from __future__ import annotations
 import os
 from typing import List
 
+import numpy as np
+
 
 def frames_to_video(frame_dir: str, out_path: str, fps: int = 30) -> str:
     """Encode the sorted PNG frames of `frame_dir` into out_path.  Uses
@@ -27,11 +29,18 @@ def frames_to_video(frame_dir: str, out_path: str, fps: int = 30) -> str:
     except Exception:
         from .avi import MJPGWriter
 
-        first = imageio.imread(paths[0])
+        def rgb(img):
+            # normalize to (H, W, 3): a 2-D grayscale PNG sliced with
+            # [..., :3] would lose COLUMNS, not channels
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+            return img[..., :3]
+
+        first = rgb(imageio.imread(paths[0]))
         avi_path = os.path.splitext(out_path)[0] + ".avi"
         with MJPGWriter(avi_path, first.shape[1], first.shape[0], fps) as w:
             for f in paths:
-                w.append(imageio.imread(f)[..., :3])
+                w.append(rgb(imageio.imread(f)))
         return avi_path
 
 
