@@ -149,10 +149,19 @@ def test_extract_mesh_recovers_from_overflow(setup, capsys):  # noqa: F811
 
     starved = _starved(pipe)
     verts, tris, cube = extract_mesh(starved, params, frame, bounds, **kw)
-    assert "compaction capacity clipped" in capsys.readouterr().out
+    msg = capsys.readouterr().out
+    assert "compaction capacity clipped" in msg
+    assert "auto-tuning compact_ratio" in msg
+    assert starved.compact_ratio > 0.01  # retuned from the measured need
     np.testing.assert_allclose(cube, cube_d, atol=1e-6)
     np.testing.assert_allclose(verts, verts_d, atol=1e-6)
     np.testing.assert_array_equal(tris, tris_d)
+
+    # the NEXT frame goes through the (re-jitted) compact sigma pass cleanly
+    verts2, tris2, cube2 = extract_mesh(starved, params, frame, bounds, **kw)
+    msg2 = capsys.readouterr().out
+    assert "clipped" not in msg2 and "auto-tuning" not in msg2
+    np.testing.assert_allclose(cube2, cube_d, atol=1e-6)
 
 
 def test_retune_need_is_per_shard_max(monkeypatch):

@@ -66,8 +66,7 @@ def extract_mesh(
         # if_mesh_renderer.py:46-96); the fallback jit is built lazily —
         # healthy runs never pay its compile
         print(f"WARNING: compaction capacity clipped {over} active grid "
-              "points; re-running sigma with compaction off (raise "
-              "cfg.compact_ratio to avoid the slow fallback)")
+              "points; re-running sigma with compaction off")
         dense_fn = getattr(pipe, "_render_sigma_dense_jit", None)
         if dense_fn is None:
             dense_fn = jax.jit(pipe.render_sigma_dense)
@@ -76,6 +75,18 @@ def extract_mesh(
             params, jax.tree.map(jnp.asarray, frame), jnp.asarray(flat_p),
             jnp.asarray(mask),
         )
+        # self-tune like cli/run.py::FrameRenderer._retune: re-derive the
+        # ratio from the measured shortfall so LATER frames of a dynamic-
+        # mesh run take the compact path again (one recompile via the
+        # dropped jit cache); the ratio only grows, so this converges
+        cp = pipe.chunk_rays * pipe.n_samples
+        cap = -(-int(pipe.compact_ratio * flat_p.shape[0]) // cp) * cp
+        new_ratio = min(1.0, 1.15 * (cap + over) / flat_p.shape[0])
+        if new_ratio > pipe.compact_ratio:
+            print(f"auto-tuning compact_ratio {pipe.compact_ratio:.4f} -> "
+                  f"{new_ratio:.4f}; recompiling the sigma pass once")
+            pipe.compact_ratio = new_ratio
+            del pipe._render_sigma_jit  # next frame re-jits at the new ratio
     sigma = np.asarray(sigma_flat)[: flat.shape[0]].reshape(gx, gy, gz)
 
     cube = np.pad(sigma, pad_voxels, mode="constant")
