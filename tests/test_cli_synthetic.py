@@ -1,0 +1,38 @@
+"""CLI dataset-registry routing: `dataset synthetic` runs train + evaluate
+end-to-end with ZERO on-disk assets (the reference's config-named dataset
+plugin dispatch, make_dataset.py:57-91, as a registry lookup)."""
+
+import numpy as np
+
+
+def _argv(work):
+    return [
+        "dataset", "synthetic",
+        "num_class", "8",
+        "vit_depth", "2",
+        "N_samples", "8",
+        "chunk_size", "64",
+        "pad_bucket", "64",
+        "patch.N_patches", "2",
+        "patch.size", "6",
+        "ep_iter", "2",
+        "train.epoch", "1",
+        "save_freq", "1",
+        "trained_model_dir", str(work / "model"),
+        "record_dir", str(work / "record"),
+        "result_dir", str(work / "result"),
+        "kmeans_dir", str(work / "nonexistent"),
+    ]
+
+
+def test_synthetic_train_then_evaluate(tmp_path):
+    from transhuman_tpu.cli import run as run_cli
+    from transhuman_tpu.cli import train as train_cli
+
+    argv = _argv(tmp_path)
+    state = train_cli.main(argv)
+    assert int(state.step) == 2
+
+    summary = run_cli.main(["--type", "evaluate"] + argv)
+    assert summary["psnr"] is not None and np.isfinite(summary["psnr"])
+    assert summary["mse"] is not None and summary["mse"] >= 0

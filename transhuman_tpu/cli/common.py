@@ -117,6 +117,17 @@ def load_cluster_spec(cfg: Config, smpl: SMPLModel) -> ClusterSpec:
     return spec
 
 
+def make_dataset(cfg: Config, split: str, smpl=None, **kw):
+    """Registry-routed dataset construction — the reference's config-named
+    plugin dispatch (`make_dataset.py:57-91` via `imp.load_source`) as a
+    name lookup: `cfg.dataset` picks the implementation ('zju' loads the
+    on-disk ZJU-MoCap layout, 'synthetic' the procedural in-memory body)."""
+    from ..data import synthetic, zju  # noqa: F401  (register implementations)
+    from ..registry import DATASETS
+
+    return DATASETS.get(cfg.dataset)(cfg, split, smpl=smpl, **kw)
+
+
 def build_runtime(
     cfg: Config,
     axis_name=None,

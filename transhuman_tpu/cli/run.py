@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.loader import Loader
-from ..data.zju import ZJUDataset
 from ..evals.evaluator import Evaluator
 from ..mesh_ops.ply import save_ply
 from ..mesh_ops.reconstruct import extract_mesh
@@ -23,7 +22,7 @@ from ..render.pipeline import pad_rays
 from ..train.checkpoint import load_params
 from ..viz.perform import PerformVisualizer
 from ..viz.video import frames_to_video
-from .common import build_runtime, model_dir, parse_args, result_dir
+from .common import build_runtime, make_dataset, model_dir, parse_args, result_dir
 
 
 def _make_render(cfg, pipe, dense=False):
@@ -213,7 +212,7 @@ def evaluate_frames(cfg, pipe, params, dataset, ev, per_frame=None, tag=""):
 
 
 def run_evaluate(cfg, pipe, model, smpl, dataset=None):
-    dataset = dataset or ZJUDataset(cfg, "test", smpl=smpl)
+    dataset = dataset or make_dataset(cfg, "test", smpl=smpl)
     params, epoch = load_params(model_dir(cfg), cfg.test.epoch)
     ev = Evaluator(result_dir(cfg), lpips_fn=make_eval_lpips_fn(cfg),
                    exp_name=cfg.exp_name, epoch=epoch)
@@ -223,7 +222,7 @@ def run_evaluate(cfg, pipe, model, smpl, dataset=None):
 
 
 def run_visualize(cfg, pipe, model, smpl, dataset=None):
-    dataset = dataset or ZJUDataset(cfg, "test", smpl=smpl)
+    dataset = dataset or make_dataset(cfg, "test", smpl=smpl)
     params, _ = load_params(model_dir(cfg), cfg.test.epoch)
     out_dir = os.path.join(result_dir(cfg), "perform")
     vis = PerformVisualizer(out_dir, white_bkgd=cfg.white_bkgd)
@@ -252,7 +251,7 @@ def run_visualize(cfg, pipe, model, smpl, dataset=None):
 
 
 def run_reconstruction(cfg, pipe, model, smpl, dataset=None):
-    dataset = dataset or ZJUDataset(cfg, "test", smpl=smpl)
+    dataset = dataset or make_dataset(cfg, "test", smpl=smpl)
     params, _ = load_params(model_dir(cfg), cfg.test.epoch)
     out_dir = os.path.join(result_dir(cfg), "mesh")
     os.makedirs(out_dir, exist_ok=True)

@@ -19,14 +19,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.loader import Loader
-from ..data.zju import ZJUDataset
 from ..models.lpips import load_lpips_params, make_lpips_fn
 from ..parallel import make_mesh, shard_batch
 from ..train import make_optimizer, make_train_step
 from ..train.checkpoint import AsyncCheckpointer, load_checkpoint
 from ..train.step import init_state
 from ..utils.recorder import Recorder
-from .common import build_runtime, model_dir, parse_args, seed_everything
+from .common import build_runtime, make_dataset, model_dir, parse_args, seed_everything
 
 
 def stack_samples(samples):
@@ -72,7 +71,7 @@ def validate(cfg, dataset=None, smpl=None):
     ckpt = load_checkpoint(model_dir(cfg), cfg.test.epoch)
     pe_table = ckpt.get("pe_table") if ckpt else None
     model, pipe, smpl, _ = build_runtime(cfg, smpl=smpl, pe_table=pe_table)
-    dataset = dataset or ZJUDataset(cfg, "test", smpl=smpl)
+    dataset = dataset or make_dataset(cfg, "test", smpl=smpl)
     params, epoch = load_params(model_dir(cfg), cfg.test.epoch)
 
     from ..evals.evaluator import Evaluator
@@ -143,7 +142,7 @@ def main(argv=None, dataset=None, smpl=None):
         perturb=cfg.perturb > 0,
     )
 
-    dataset = dataset or ZJUDataset(cfg, "train", smpl=smpl)
+    dataset = dataset or make_dataset(cfg, "train", smpl=smpl)
     mdir = model_dir(cfg)
     # cfg.use_record gates the metrics stream only (the reference's
     # tensorboard writer gate, recorder.py:49); the console line always prints
