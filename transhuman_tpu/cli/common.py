@@ -11,8 +11,8 @@ import numpy as np
 from ..config import Config
 from ..geometry.clusters import ClusterSpec
 from ..geometry.smpl import SMPLModel
-from ..models.network import TransHumanNet
-from ..render.pipeline import RenderPipeline
+from ..models.network import TransHumanNet  # noqa: F401  registers 'transhuman'
+from ..render.pipeline import RenderPipeline  # noqa: F401  registers 'clight'
 
 
 def _honor_jax_platforms_env():
@@ -135,23 +135,18 @@ def build_runtime(
     smpl: Optional[SMPLModel] = None,
     pe_table=None,
 ):
-    """Returns (model, pipe, smpl, cluster)."""
+    """Returns (model, pipe, smpl, cluster).  cfg.network / cfg.renderer pick
+    the implementations by registry name (the reference's make_network.py /
+    make_renderer.py plugin dispatch)."""
+    from ..registry import NETWORKS, RENDERERS
+
     if smpl is None:
         smpl = load_smpl(cfg)
     cluster = load_cluster_spec(cfg, smpl)
-    model = TransHumanNet.from_config(cfg, axis_name=axis_name)
-    pipe = RenderPipeline(
-        model,
-        cluster,
-        smpl.v_template,
-        n_samples=cfg.N_samples,
-        chunk_rays=chunk_rays or max(cfg.chunk_size // cfg.N_samples, 1),
-        cull_distance=cfg.cull_distance,
-        white_bkgd=cfg.white_bkgd,
-        raw_noise_std=cfg.raw_noise_std,
-        pe_table=pe_table,
-        use_pallas=cfg.use_pallas_knn,
-        compact_ratio=cfg.compact_ratio,
+    model = NETWORKS.get(cfg.network)(cfg, axis_name=axis_name)
+    pipe = RENDERERS.get(cfg.renderer)(
+        model, cluster, smpl.v_template, cfg,
+        chunk_rays=chunk_rays, pe_table=pe_table,
     )
     return model, pipe, smpl, cluster
 

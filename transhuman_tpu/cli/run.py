@@ -15,12 +15,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.loader import Loader
-from ..evals.evaluator import Evaluator
+from ..evals.evaluator import Evaluator  # noqa: F401  registers 'if_nerf'
 from ..mesh_ops.ply import save_ply
 from ..mesh_ops.reconstruct import extract_mesh
 from ..render.pipeline import pad_rays
 from ..train.checkpoint import load_params
-from ..viz.perform import PerformVisualizer
+from ..viz.perform import PerformVisualizer  # noqa: F401  registers 'perform'
 from ..viz.video import frames_to_video
 from .common import build_runtime, make_dataset, model_dir, parse_args, result_dir
 
@@ -214,8 +214,12 @@ def evaluate_frames(cfg, pipe, params, dataset, ev, per_frame=None, tag=""):
 def run_evaluate(cfg, pipe, model, smpl, dataset=None):
     dataset = dataset or make_dataset(cfg, "test", smpl=smpl)
     params, epoch = load_params(model_dir(cfg), cfg.test.epoch)
-    ev = Evaluator(result_dir(cfg), lpips_fn=make_eval_lpips_fn(cfg),
-                   exp_name=cfg.exp_name, epoch=epoch)
+    from ..registry import EVALUATORS
+
+    ev = EVALUATORS.get(cfg.evaluator)(
+        result_dir(cfg), lpips_fn=make_eval_lpips_fn(cfg),
+        exp_name=cfg.exp_name, epoch=epoch,
+    )
     summary, _ = evaluate_frames(cfg, pipe, params, dataset, ev)
     print(summary)
     return summary
@@ -225,7 +229,9 @@ def run_visualize(cfg, pipe, model, smpl, dataset=None):
     dataset = dataset or make_dataset(cfg, "test", smpl=smpl)
     params, _ = load_params(model_dir(cfg), cfg.test.epoch)
     out_dir = os.path.join(result_dir(cfg), "perform")
-    vis = PerformVisualizer(out_dir, white_bkgd=cfg.white_bkgd)
+    from ..registry import VISUALIZERS
+
+    vis = VISUALIZERS.get(cfg.visualizer)(out_dir, white_bkgd=cfg.white_bkgd)
     renderer = FrameRenderer(cfg, pipe)
 
     humans = set()

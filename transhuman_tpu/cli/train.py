@@ -21,7 +21,7 @@ import numpy as np
 from ..data.loader import Loader
 from ..models.lpips import load_lpips_params, make_lpips_fn
 from ..parallel import make_mesh, shard_batch
-from ..train import make_optimizer, make_train_step
+from ..train import make_optimizer, make_train_step  # noqa: F401  registers 'clight' trainer
 from ..train.checkpoint import AsyncCheckpointer, load_checkpoint
 from ..train.step import init_state
 from ..utils.recorder import Recorder
@@ -74,11 +74,15 @@ def validate(cfg, dataset=None, smpl=None):
     dataset = dataset or make_dataset(cfg, "test", smpl=smpl)
     params, epoch = load_params(model_dir(cfg), cfg.test.epoch)
 
-    from ..evals.evaluator import Evaluator
+    from ..evals.evaluator import Evaluator  # noqa: F401  registers 'if_nerf'
 
     epoch = int(epoch)  # ckpt pytrees store it as a 0-d array
-    ev = Evaluator(result_dir(cfg), lpips_fn=make_eval_lpips_fn(cfg),
-                   exp_name=cfg.exp_name, epoch=epoch)
+    from ..registry import EVALUATORS
+
+    ev = EVALUATORS.get(cfg.evaluator)(
+        result_dir(cfg), lpips_fn=make_eval_lpips_fn(cfg),
+        exp_name=cfg.exp_name, epoch=epoch,
+    )
     recorder = Recorder(cfg.record_dir, cfg.record_interval, cfg.log_interval,
                         enabled=jax.process_index() == 0 and cfg.use_record)
     recorder.epoch = epoch
@@ -135,7 +139,9 @@ def main(argv=None, dataset=None, smpl=None):
         weight_decay=cfg.train.weight_decay,
         optim=cfg.train.optim,
     )
-    step_fn = make_train_step(
+    from ..registry import TRAINERS
+
+    step_fn = TRAINERS.get(cfg.trainer)(
         pipe, tx, mesh=mesh, lpips_fn=lpips_fn,
         l2_weight=cfg.l2rec_weight, lpips_weight=cfg.lpips_weight,
         patch_mode=cfg.patch.use_patch_sampling,

@@ -97,9 +97,10 @@ class Config:
     exp_name: str = "transhuman_tpu"
     task: str = "transhuman"
 
-    # --- plugin selection (registry names, replacing *_module/_path pairs) ---
+    # --- plugin selection (registry names, replacing *_module/_path pairs;
+    # each routed through transhuman_tpu.registry at the construction site,
+    # so an unknown name fails loudly with the known options) ---
     dataset: str = "zju"  # [zju | synthetic]
-    dataset_variant: str = "base"  # [base | perform | mesh]
     network: str = "transhuman"
     renderer: str = "clight"
     trainer: str = "clight"

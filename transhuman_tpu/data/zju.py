@@ -70,6 +70,14 @@ class ZJUDataset:
         smpl: Optional[SMPLModel] = None,
         human_info: Optional[dict] = None,
     ):
+        if cfg.time_steps != 1:
+            # the reference parses time_steps/time_mult but ASSERTS == 1 at
+            # runtime (if_clight_renderer.py:412,556) — fail at load instead
+            # of silently ignoring the key
+            raise ValueError(
+                f"time_steps={cfg.time_steps} is unsupported: the reference "
+                "itself asserts time_steps == 1 (if_clight_renderer.py:412)"
+            )
         self.cfg = cfg
         self.split = split
         self.data_root = cfg.data_root
@@ -156,6 +164,11 @@ class ZJUDataset:
 
     def frame_sampler_indices(self, full_eval: Optional[bool] = None):
         fe = self.cfg.test.full_eval if full_eval is None else full_eval
+        if self.cfg.test.sampler != "FrameSampler":
+            # the reference's non-FrameSampler path is a plain sequential
+            # pass over every frame (make_dataset.py:14-25); only
+            # FrameSampler decimates (samplers.py:150-155)
+            fe = True
         return catalog.frame_sampler_indices(
             [self.human2frame_cam[h] for h in self.human_list],
             full_eval=fe,

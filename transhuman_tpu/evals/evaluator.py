@@ -153,3 +153,12 @@ class Evaluator:
         self.mse, self.psnr, self.ssim, self.lpips = [], [], [], []
         self.ssim_dr1 = []
         return out
+
+
+from ..registry import EVALUATORS
+
+
+@EVALUATORS.register("if_nerf")
+def _make_if_nerf(*args, **kw):
+    """cfg.evaluator plugin entry (reference make_evaluator.py:4-8)."""
+    return Evaluator(*args, **kw)

@@ -32,6 +32,8 @@ class TransHumanNet(nn.Module):
     knn_k: int = 7
     knn_dist_alpha: float = 0.5
     knn_freqs: int = 10
+    view_freqs: int = 4  # cfg.view_res (embedder.py:53); sets the sincos
+    # view-direction input width (27-d at the official 4)
     use_truncation: bool = False
     knn_sigma: float = 0.25
     axis_name: Optional[str] = None
@@ -48,6 +50,7 @@ class TransHumanNet(nn.Module):
             knn_k=cfg.KNN,
             knn_dist_alpha=cfg.KNN_DIST_ALPHA,
             knn_freqs=cfg.KNN_FREQ,
+            view_freqs=cfg.view_res,
             use_truncation=cfg.use_truncation,
             knn_sigma=cfg.KNN_SIGMA,
             axis_name=axis_name,
@@ -122,3 +125,12 @@ class TransHumanNet(nn.Module):
         n = pts_smpl.shape[0]
         pixel_feat = jnp.zeros((v, n, pixel_map.shape[-1]), pixel_map.dtype)
         return self.query(pts_smpl, centers, rot, tokens, pixel_feat, viewdir_embed)
+
+
+from ..registry import NETWORKS
+
+
+@NETWORKS.register("transhuman")
+def _make_transhuman(cfg, axis_name=None):
+    """cfg.network plugin entry (reference make_network.py:4-11)."""
+    return TransHumanNet.from_config(cfg, axis_name=axis_name)

@@ -132,9 +132,15 @@ class RenderPipeline:
         # (58.6k vs 73.4k rays/s measured); kept for future hardware
         compact_ratio: Optional[float] = None,
         cull_clusters: int = 1024,
+        view_freqs: Optional[int] = None,  # cfg.view_res (embedder.py:53);
+        # defaults to the model's view_freqs so init and render agree; head
+        # widths adapt via flax shape inference (official arch: 4 -> 27-d,
+        # 283-wide view_fc)
     ):
         self.model = model
         self.n_samples = n_samples
+        self.view_freqs = (view_freqs if view_freqs is not None
+                           else getattr(model, "view_freqs", 4))
         self.chunk_rays = chunk_rays
         self.use_pallas = use_pallas
         self.quantize_pixel_feat = quantize_pixel_feat
@@ -377,7 +383,7 @@ class RenderPipeline:
         r, s = z_vals.shape
         pro = self.prologue(params, frame)
         viewdir = rays.ray_d / jnp.linalg.norm(rays.ray_d, axis=-1, keepdims=True)
-        vde = embed_viewdir(viewdir)  # (R, 27)
+        vde = embed_viewdir(viewdir, self.view_freqs)  # (R, 27 at the official view_res=4)
         vde = jnp.broadcast_to(vde[:, None, :], (r, s, vde.shape[-1])).reshape(
             r * s, -1
         )
@@ -421,7 +427,7 @@ class RenderPipeline:
 
         pro = self.prologue(params, frame)
         viewdir = rays.ray_d / jnp.linalg.norm(rays.ray_d, axis=-1, keepdims=True)
-        vde = embed_viewdir(viewdir)  # (R, 27)
+        vde = embed_viewdir(viewdir, self.view_freqs)  # (R, 27 at the official view_res=4)
 
         pts, z_vals = sample_along_rays(
             rays.ray_o, rays.ray_d, rays.near, rays.far, s
@@ -488,7 +494,7 @@ class RenderPipeline:
 
         pro = self.prologue(params, frame)
         viewdir = rays.ray_d / jnp.linalg.norm(rays.ray_d, axis=-1, keepdims=True)
-        vde = embed_viewdir(viewdir)  # (R, 27)
+        vde = embed_viewdir(viewdir, self.view_freqs)  # (R, 27 at the official view_res=4)
         pts, _ = sample_along_rays(
             rays.ray_o, rays.ray_d, rays.near, rays.far, s
         )
@@ -535,13 +541,17 @@ class RenderPipeline:
              jax.lax.bitcast_convert_type(words, jnp.float32),
              jax.lax.bitcast_convert_type(starts, jnp.float32)[:, None]],
             axis=1,
-        )  # (r, 37 + nw)
-        rt = table.at[ray_idx].get(indices_are_sorted=True)  # (m, 37+nw)
+        )  # (r, 9 + vw + nw + 1); vw = vde width (27 at the official view_res)
+        vw = vde.shape[1]
+        rt = table.at[ray_idx].get(indices_are_sorted=True)
         ro, rd, near_c, far_c, rdn_c, c_vde = (
-            rt[:, 0:3], rt[:, 3:6], rt[:, 6], rt[:, 7], rt[:, 8], rt[:, 9:36]
+            rt[:, 0:3], rt[:, 3:6], rt[:, 6], rt[:, 7], rt[:, 8],
+            rt[:, 9:9 + vw],
         )
-        words_c = jax.lax.bitcast_convert_type(rt[:, 36:36 + nw], jnp.uint32)
-        start_c = jax.lax.bitcast_convert_type(rt[:, 36 + nw], jnp.int32)
+        words_c = jax.lax.bitcast_convert_type(
+            rt[:, 9 + vw:9 + vw + nw], jnp.uint32
+        )
+        start_c = jax.lax.bitcast_convert_type(rt[:, 9 + vw + nw], jnp.int32)
         k = jnp.arange(m, dtype=jnp.int32) - start_c  # k-th survivor
         s_idx = select_kth_set_bit(words_c, k).astype(jnp.float32)
         valid = jnp.arange(m, dtype=jnp.int32) < jnp.minimum(n_active, m)
@@ -607,7 +617,7 @@ class RenderPipeline:
         if self.compact_ratio is None:
             return self.render_sigma_dense(params, frame, pts_world, pts_mask)
         pro = self.prologue(params, frame)
-        vde = jnp.zeros((cp, 27), pts_world.dtype)
+        vde = jnp.zeros((cp, 6 * self.view_freqs + 3), pts_world.dtype)
 
         # same static-capacity compaction as _render_frame_compact; the
         # dense grid's active fraction (the 0.1 m shell around the body)
@@ -645,7 +655,7 @@ class RenderPipeline:
         cp = self.chunk_rays * self.n_samples
         assert n % cp == 0, f"{n} not a multiple of chunk {cp}"
         pro = self.prologue(params, frame)
-        vde = jnp.zeros((cp, 27), pts_world.dtype)
+        vde = jnp.zeros((cp, 6 * self.view_freqs + 3), pts_world.dtype)
 
         def chunk_body(chunk):
             c_pts, c_mask = chunk
@@ -683,4 +693,29 @@ def pad_rays(rays: RayBundle, multiple: int) -> RayBundle:
             [np.zeros(r, np.float32), np.full(pad, 1e-3, np.float32)]
         ),
         mask=np.concatenate([np.asarray(rays.mask), np.zeros(pad, bool)]),
+    )
+
+
+from ..registry import RENDERERS
+
+
+@RENDERERS.register("clight")
+def _make_clight(model, cluster, canonical_verts, cfg, chunk_rays=None,
+                 pe_table=None, axis_name=None):
+    """cfg.renderer plugin entry (reference make_renderer.py:4-8): build the
+    volume-rendering orchestrator from a config."""
+    del axis_name
+    return RenderPipeline(
+        model,
+        cluster,
+        canonical_verts,
+        n_samples=cfg.N_samples,
+        chunk_rays=chunk_rays or max(cfg.chunk_size // cfg.N_samples, 1),
+        cull_distance=cfg.cull_distance,
+        white_bkgd=cfg.white_bkgd,
+        raw_noise_std=cfg.raw_noise_std,
+        pe_table=pe_table,
+        use_pallas=cfg.use_pallas_knn,
+        compact_ratio=cfg.compact_ratio,
+        view_freqs=cfg.view_res,
     )

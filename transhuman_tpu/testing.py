@@ -107,5 +107,5 @@ def init_params(model: TransHumanNet, frame: FrameInputs, n_clusters: int, key):
         jnp.zeros((8, 3)),
         jnp.zeros((n_clusters, 3)),
         jnp.zeros((n_clusters, 3, 3)),
-        jnp.zeros((8, 27)),
+        jnp.zeros((8, 6 * getattr(model, "view_freqs", 4) + 3)),
     )

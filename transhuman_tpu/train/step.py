@@ -138,3 +138,13 @@ def make_train_step(
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+from ..registry import TRAINERS
+
+
+@TRAINERS.register("clight")
+def _make_clight_trainer(*args, **kw):
+    """cfg.trainer plugin entry (reference make_trainer.py:4-14): the loss
+    wrapper + jitted DP train step."""
+    return make_train_step(*args, **kw)

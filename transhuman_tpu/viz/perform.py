@@ -27,3 +27,12 @@ class PerformVisualizer:
         path = os.path.join(d, f"frame{frame_index:04d}.png")
         cv2.imwrite(path, np.clip(img[..., ::-1] * 255, 0, 255).astype(np.uint8))
         return path
+
+
+from ..registry import VISUALIZERS
+
+
+@VISUALIZERS.register("perform")
+def _make_perform(*args, **kw):
+    """cfg.visualizer plugin entry (reference make_visualizer.py:4-8)."""
+    return PerformVisualizer(*args, **kw)
