@@ -28,6 +28,24 @@ def test_merge_opts():
     assert Config().num_class == 300
 
 
+def test_merge_opts_yacs_comma_lists():
+    """yacs literal_evals overrides, so the reference's shell scripts pass
+    lists as bare comma strings (`scripts/test.sh`: `test.input_view 0,7,15`,
+    `test.target_view 3,`). Must parse identically here."""
+    cfg = Config().merge_opts(
+        ["test.input_view", "0,7,15", "test.target_view", "3,", "test.mode",
+         "model_x_motion_x", "exp_name", "official", "test.epoch", "2100"]
+    )
+    assert cfg.test.input_view == [0, 7, 15]
+    assert cfg.test.target_view == [3]
+    assert cfg.test.mode == "model_x_motion_x"
+    assert cfg.test.epoch == 2100
+    # one-shot generalization row of the reference script
+    assert Config().merge_opts(["test.input_view", "0,"]).test.input_view == [0]
+    # strings with commas that are not literals stay strings
+    assert Config().merge_opts(["exp_name", "a,b"]).exp_name == "a,b"
+
+
 def test_unknown_key_raises():
     with pytest.raises(KeyError):
         Config().merge_opts(["definitely_not_a_key", "1"])

@@ -259,3 +259,31 @@ def test_compact_respects_aug_fields(setup):
         np.testing.assert_allclose(
             np.asarray(out[k]), np.asarray(base[k]), atol=2e-5
         )
+
+
+def test_one_shot_single_input_view(setup):
+    """One-shot generalization: the reference's scripts/test.sh ships a
+    `test_input_view="0,"` row (single reference view). Every view axis in
+    the pipeline must be genuinely dynamic — same params, V=1 frame."""
+    pipe, params, frame, rays = setup
+    f1 = frame.replace(
+        images=frame.images[:1],
+        vizmaps=frame.vizmaps[:1],
+        K=frame.K[:1],
+        R=frame.R[:1],
+        T=frame.T[:1],
+    )
+    out = pipe.render_frame(params, f1, rays)
+    assert out["rgb_map"].shape == (rays.ray_o.shape[0], 3)
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()
+    assert float(np.abs(np.asarray(out["acc_map"])).sum()) > 0.0
+
+    # train path + gradients also work at V=1
+    def loss(p):
+        return jnp.mean(pipe.render_train(p, f1, rays)["rgb_map"] ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(
+        np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g)
+    )

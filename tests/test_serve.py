@@ -1,0 +1,168 @@
+"""Render-serving tests (tiny synthetic scene, CPU).
+
+Covers the request parser (geometry both as explicit verts and as SMPL
+params), the render service output contract, and a real HTTP round-trip
+through the pipelined executor (npz + png replies, health/stats, errors).
+"""
+
+import io
+import json
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from transhuman_tpu.config import Config
+from transhuman_tpu.serve import (
+    RenderServer,
+    RenderService,
+    RequestError,
+    parse_render_request,
+)
+from transhuman_tpu.testing import init_params, synthetic_setup
+
+HW = 32
+
+
+@pytest.fixture(scope="module")
+def service():
+    # H_render/W_render are derived (H*ratio): 64 * 0.5 = HW
+    cfg = Config().merge_opts(
+        ["pad_bucket", "64", "H", str(HW * 2), "W", str(HW * 2), "ratio", "0.5"]
+    )
+    model, pipe, frame, smpl, cluster = synthetic_setup(
+        n_views=2, image_hw=(HW, HW), n_verts=120, n_clusters=12,
+        n_samples=8, chunk_rays=8, embed_dim=24, vit_depth=2, vit_heads=2,
+        knn_k=4,
+    )
+    params = init_params(model, frame, 12, jax.random.PRNGKey(0))
+    svc = RenderService(cfg, pipe, params, smpl)
+    return svc, frame, smpl
+
+
+def _request_arrays(frame, target_view=0):
+    return {
+        "images": np.asarray(frame.images),
+        "K": np.asarray(frame.K),
+        "R": np.asarray(frame.R),
+        "T": np.asarray(frame.T),
+        "verts_world": np.asarray(frame.verts_world),
+        "blend_rot": np.asarray(frame.blend_rot),
+        "tK": np.asarray(frame.K[target_view]),
+        "tR": np.asarray(frame.R[target_view]),
+        "tT": np.asarray(frame.T[target_view]),
+        "H": HW, "W": HW,
+    }
+
+
+def test_render_with_explicit_verts(service):
+    svc, frame, _ = service
+    out = svc.render(_request_arrays(frame))
+    assert out["rgb"].shape == (HW, HW, 3)
+    assert out["depth"].shape == (HW, HW)
+    assert out["acc"].shape == (HW, HW)
+    for v in out.values():
+        assert np.isfinite(v).all()
+    assert float(np.abs(out["acc"]).sum()) > 0.0
+    assert svc.n_rendered == 1
+
+
+def test_render_with_smpl_params(service):
+    """poses/shapes geometry == explicit-verts geometry (the synthetic frame
+    was built from smpl(0, 0) with Rh=I, Th=0)."""
+    svc, frame, _ = service
+    base = svc.render(_request_arrays(frame))
+    req = _request_arrays(frame)
+    del req["verts_world"], req["blend_rot"]
+    req["poses"] = np.zeros(72, np.float32)
+    req["shapes"] = np.zeros(10, np.float32)
+    out = svc.render(req)
+    np.testing.assert_allclose(out["rgb"], base["rgb"], atol=1e-5)
+
+
+def test_uint8_images_and_masks(service):
+    svc, frame, smpl = service
+    req = _request_arrays(frame)
+    req["images"] = (np.asarray(frame.images) * 255).astype(np.uint8)
+    req["masks"] = np.ones(np.asarray(frame.images).shape[:3], np.uint8)
+    f, _, _ = parse_render_request(req, svc.cfg, smpl)
+    np.testing.assert_allclose(
+        np.asarray(f.images), np.asarray(frame.images), atol=1 / 254.0
+    )
+    # zero mask -> zero inputs
+    req["masks"] = np.zeros(np.asarray(frame.images).shape[:3], np.uint8)
+    f, _, _ = parse_render_request(req, svc.cfg, smpl)
+    assert float(np.abs(np.asarray(f.images)).sum()) == 0.0
+
+
+@pytest.mark.parametrize("drop, msg", [
+    ("images", "images"),
+    ("tK", "tK"),
+    ("blend_rot", "verts_world"),  # drops into the needs-geometry error
+])
+def test_bad_requests(service, drop, msg):
+    svc, frame, smpl = service
+    req = _request_arrays(frame)
+    del req[drop]
+    if drop == "blend_rot":
+        del req["verts_world"]
+    with pytest.raises(RequestError, match=msg):
+        parse_render_request(req, svc.cfg, smpl)
+
+
+def test_wrong_vertex_count(service):
+    svc, frame, smpl = service
+    req = _request_arrays(frame)
+    req["verts_world"] = np.zeros((7, 3), np.float32)
+    req["blend_rot"] = np.tile(np.eye(3, dtype=np.float32), (7, 1, 1))
+    with pytest.raises(RequestError, match="vertices"):
+        parse_render_request(req, svc.cfg, smpl)
+
+
+def test_http_roundtrip(service):
+    svc, frame, _ = service
+    server = RenderServer(svc, port=0)
+    server.start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        health = json.loads(urllib.request.urlopen(
+            base + "/healthz", timeout=30).read())
+        assert health["status"] == "ok" and health["n_params"] > 0
+
+        buf = io.BytesIO()
+        np.savez(buf, **_request_arrays(frame))
+        body = buf.getvalue()
+        ref = svc.render(_request_arrays(frame))
+
+        reply = urllib.request.urlopen(
+            urllib.request.Request(base + "/render", data=body), timeout=120
+        ).read()
+        out = dict(np.load(io.BytesIO(reply)))
+        np.testing.assert_allclose(out["rgb"], ref["rgb"], atol=1e-5)
+
+        png = urllib.request.urlopen(
+            urllib.request.Request(base + "/render?format=png", data=body),
+            timeout=120,
+        )
+        assert png.headers["Content-Type"] == "image/png"
+        import imageio.v2 as imageio
+
+        img = imageio.imread(png.read())
+        assert img.shape[:2] == (HW, HW)
+
+        stats = json.loads(urllib.request.urlopen(
+            base + "/stats", timeout=30).read())
+        assert stats["renders"] >= 2
+        assert stats["latency_ms"]["p50"] > 0
+
+        # malformed payload -> 400, server stays alive
+        bad = urllib.request.Request(base + "/render", data=b"not an npz")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 500 or ei.value.code == 400
+        assert json.loads(urllib.request.urlopen(
+            base + "/healthz", timeout=30).read())["status"] == "ok"
+    finally:
+        server.shutdown()

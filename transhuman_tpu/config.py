@@ -32,11 +32,16 @@ def _parse_scalar(v: str) -> Any:
         return float(v)
     except ValueError:
         pass
-    if v.startswith(("[", "(", "{")):
+    if v.startswith(("[", "(", "{")) or "," in v:
+        # yacs literal_evals every override, so the reference's shell
+        # scripts pass lists as bare comma strings: `test.input_view 0,7,15`
+        # -> (0, 7, 15), and one-element lists with a trailing comma:
+        # `test.target_view 3,` -> (3,)  (reference scripts/test.sh:26-28).
         import ast
 
         try:
-            return ast.literal_eval(v)
+            out = ast.literal_eval(v)
+            return list(out) if isinstance(out, tuple) else out
         except (ValueError, SyntaxError):
             pass
     return v
