@@ -17,7 +17,7 @@ test_mode='model_x_motion_x'     # [model_o_motion_o | model_o_motion_x | model_
 LOG_DIR="./data/result/transhuman/${EXP_NAME}"
 mkdir -p "${LOG_DIR}"
 
-python -m transhuman_tpu.cli.run --type reconstruction --cfg_file configs/reconstruction.yaml \
+( set +e; python -m transhuman_tpu.cli.run --type reconstruction --cfg_file configs/reconstruction.yaml \
     run_mode test \
     test.input_view "${test_input_view}" \
     test.target_view "${test_target_view}" \
@@ -26,4 +26,8 @@ python -m transhuman_tpu.cli.run --type reconstruction --cfg_file configs/recons
     test.epoch "${EPOCH}" \
     test.exp_folder_name "${test_mode}" \
     test.full_eval True \
-    2>&1 | tee "${LOG_DIR}/log_E${EPOCH}_${test_mode}.txt"
+    2>&1; echo $? > "${LOG_DIR}/.exit_code" ) \
+    | tee "${LOG_DIR}/log_E${EPOCH}_${test_mode}.txt"
+# a plain pipeline returns tee's status, defeating set -e on a python
+# failure; the subshell writes the real exit code, propagated here
+exit "$(cat "${LOG_DIR}/.exit_code")"

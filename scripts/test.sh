@@ -34,7 +34,7 @@ test_mode='model_x_motion_x'
 LOG_DIR="./data/result/transhuman/${EXP_NAME}"
 mkdir -p "${LOG_DIR}"
 
-python -m transhuman_tpu.cli.run --type evaluate --cfg_file configs/train_or_eval.yaml \
+( set +e; python -m transhuman_tpu.cli.run --type evaluate --cfg_file configs/train_or_eval.yaml \
     run_mode test \
     test.input_view "${test_input_view}" \
     test.target_view "${test_target_view}" \
@@ -43,4 +43,8 @@ python -m transhuman_tpu.cli.run --type evaluate --cfg_file configs/train_or_eva
     test.epoch "${EPOCH}" \
     test.exp_folder_name "zjumocap_${test_mode}" \
     test.full_eval False \
-    2>&1 | tee "${LOG_DIR}/log_E${EPOCH}_${test_mode}.txt"
+    2>&1; echo $? > "${LOG_DIR}/.exit_code" ) \
+    | tee "${LOG_DIR}/log_E${EPOCH}_${test_mode}.txt"
+# a plain pipeline returns tee's status, defeating set -e on a python
+# failure; the subshell writes the real exit code, propagated here
+exit "$(cat "${LOG_DIR}/.exit_code")"

@@ -44,6 +44,10 @@ def test_merge_opts_yacs_comma_lists():
     assert Config().merge_opts(["test.input_view", "0,"]).test.input_view == [0]
     # strings with commas that are not literals stay strings
     assert Config().merge_opts(["exp_name", "a,b"]).exp_name == "a,b"
+    # str-typed fields take values VERBATIM — numeric comma strings must not
+    # become lists (yacs would raise a type mismatch; verbatim is useful)
+    assert Config().merge_opts(["exp_name", "1,2"]).exp_name == "1,2"
+    assert Config().merge_opts(["exp_name", "2100"]).exp_name == "2100"
 
 
 def test_unknown_key_raises():

@@ -91,10 +91,31 @@ def test_uint8_images_and_masks(service):
     np.testing.assert_allclose(
         np.asarray(f.images), np.asarray(frame.images), atol=1 / 254.0
     )
-    # zero mask -> zero inputs
+    # zero mask -> background fill, honoring white_bkgd (data/zju.py:258)
     req["masks"] = np.zeros(np.asarray(frame.images).shape[:3], np.uint8)
     f, _, _ = parse_render_request(req, svc.cfg, smpl)
     assert float(np.abs(np.asarray(f.images)).sum()) == 0.0
+    white_cfg = svc.cfg.merge_opts(["white_bkgd", "True"])
+    f, _, _ = parse_render_request(req, white_cfg, smpl)
+    assert np.all(np.asarray(f.images) == 1.0)
+    nomask_cfg = svc.cfg.merge_opts(["mask_bkgd", "False"])
+    f, _, _ = parse_render_request(req, nomask_cfg, smpl)
+    np.testing.assert_allclose(
+        np.asarray(f.images), np.asarray(frame.images), atol=1 / 254.0
+    )
+
+
+def test_bad_shapes_are_request_errors(service):
+    """Wrong-shaped arrays must map to HTTP 400, not 500."""
+    svc, frame, smpl = service
+    req = _request_arrays(frame)
+    req["K"] = np.asarray(frame.K)[:1]  # 1 K for 2 views
+    with pytest.raises(RequestError, match="reshape"):
+        parse_render_request(req, svc.cfg, smpl)
+    req = _request_arrays(frame)
+    req["tT"] = np.zeros((4,), np.float32)
+    with pytest.raises(RequestError, match="reshape"):
+        parse_render_request(req, svc.cfg, smpl)
 
 
 @pytest.mark.parametrize("drop, msg", [
@@ -157,11 +178,11 @@ def test_http_roundtrip(service):
         assert stats["renders"] >= 2
         assert stats["latency_ms"]["p50"] > 0
 
-        # malformed payload -> 400, server stays alive
+        # malformed payload -> 400 (client error, not server fault)
         bad = urllib.request.Request(base + "/render", data=b"not an npz")
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(bad, timeout=30)
-        assert ei.value.code == 500 or ei.value.code == 400
+        assert ei.value.code == 400
         assert json.loads(urllib.request.urlopen(
             base + "/healthz", timeout=30).read())["status"] == "ok"
     finally:

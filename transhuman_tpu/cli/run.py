@@ -66,6 +66,7 @@ class FrameRenderer:
         self._render, self.bucket = _make_render(cfg, pipe)
         self._dense = None
         self._n_frames = 0
+        self.n_fallbacks = 0  # dense re-renders (observability: serve /stats)
         # getattr: tests drive FrameRenderer with minimal duck-typed cfgs
         self._profile_dir = getattr(cfg, "profile_dir", "")
 
@@ -98,6 +99,7 @@ class FrameRenderer:
         # (n_shards,) under ray sharding (one count per shard), (1,) otherwise
         over_per_shard = np.atleast_1d(np.asarray(out.pop("overflow", 0)))
         if over_per_shard.sum():
+            self.n_fallbacks += 1
             print(
                 f"WARNING: compaction capacity clipped "
                 f"{int(over_per_shard.sum())} active points;"

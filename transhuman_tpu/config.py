@@ -255,7 +255,8 @@ class Config:
             parts = k.split(".")
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
-            node[parts[-1]] = _parse_scalar(v)
+            # raw string: _merge_into parses it against the field's type
+            node[parts[-1]] = v
         return self.merge_dict(d)
 
     @classmethod
@@ -306,6 +307,10 @@ def _merge_into(obj, d: dict):
             updates[k] = _merge_into(cur, v)
         else:
             if isinstance(v, str):
-                v = _parse_scalar(v)
+                parsed = _parse_scalar(v)
+                # str-typed fields take values verbatim: `exp_name 1,2` is
+                # the string "1,2", not [1, 2] (yacs would raise a type
+                # mismatch; keeping the string is the useful behavior)
+                v = v if isinstance(cur, str) else parsed
             updates[k] = v
     return dataclasses.replace(obj, **updates)

@@ -418,14 +418,9 @@ class ZJUDataset:
             **(aug or {}),
         )
 
-        # world AABB, z-inflated (prepare_input, can_smpl.py:225-233)
-        mn, mx = verts_world.min(0), verts_world.max(0)
-        if self.cfg.big_box:
-            mn, mx = mn - 0.05, mx + 0.05
-        else:
-            mn[2] -= 0.05
-            mx[2] += 0.05
-        can_bounds = np.stack([mn, mx])
+        from ..geometry.rays import world_bounds
+
+        can_bounds = world_bounds(verts_world, self.cfg.big_box)
 
         target = (tgt_img, tgt_msk, tK, tR, tT, can_bounds)
         meta = dict(

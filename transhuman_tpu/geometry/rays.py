@@ -31,6 +31,20 @@ def get_rays(H: int, W: int, K: np.ndarray, R: np.ndarray, T: np.ndarray):
     return rays_o.astype(np.float32), rays_d.astype(np.float32)
 
 
+def world_bounds(verts_world: np.ndarray, big_box: bool) -> np.ndarray:
+    """Body AABB for ray near/far: z-inflated by 0.05 m, or all axes when
+    big_box (reference prepare_input, can_smpl.py:225-233).  Shared by the
+    dataset and the render server so the inflation lives in one place."""
+    mn = verts_world.min(0).copy()
+    mx = verts_world.max(0).copy()
+    if big_box:
+        mn, mx = mn - 0.05, mx + 0.05
+    else:
+        mn[2] -= 0.05
+        mx[2] += 0.05
+    return np.stack([mn, mx])
+
+
 def get_bound_corners(bounds: np.ndarray) -> np.ndarray:
     """(2,3) min/max AABB -> (8,3) corners, reference ordering."""
     min_x, min_y, min_z = bounds[0]

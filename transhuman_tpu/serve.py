@@ -24,7 +24,8 @@ Endpoints
     * SMPL parameters ``poses (72,)`` + ``shapes (10,)`` (the server runs
       its SMPL model — requests are then a few hundred bytes of geometry).
 
-    Optional: ``masks (V,H,W)`` (background zeroed like the dataset does),
+    Optional: ``masks (V,H,W)`` (background filled like the training inputs:
+    white if ``cfg.white_bkgd`` else black, gated on ``cfg.mask_bkgd``),
     ``vizmaps (V,Nv)`` (default all-visible), ``Rh (3,3)`` / ``Th (3,)``
     (default identity), ``H/W`` scalars (default cfg render resolution).
     Reply: ``.npz`` with ``rgb (H,W,3)``, ``depth (H,W)``, ``acc (H,W)``,
@@ -46,6 +47,7 @@ import queue
 import sys
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -53,6 +55,7 @@ import numpy as np
 
 from .config import Config
 from .data.ray_sampling import sample_eval_rays
+from .geometry.rays import world_bounds
 from .render.pipeline import FrameInputs
 
 
@@ -64,7 +67,20 @@ def _as_f32(d, key, shape_hint=None):
     if key not in d:
         raise RequestError(f"missing required array {key!r}"
                            + (f" {shape_hint}" if shape_hint else ""))
-    return np.asarray(d[key], np.float32)
+    try:
+        return np.asarray(d[key], np.float32)
+    except (ValueError, TypeError) as e:
+        raise RequestError(f"array {key!r} is not numeric: {e}") from e
+
+
+def _shaped(d, key, shape):
+    """_as_f32 + reshape with client-error (HTTP 400) semantics."""
+    a = _as_f32(d, key, str(shape))
+    try:
+        return a.reshape(shape)
+    except ValueError as e:
+        raise RequestError(
+            f"{key} has shape {a.shape}; cannot reshape to {shape}") from e
 
 
 def parse_render_request(arrays: dict, cfg: Config, smpl) -> tuple:
@@ -80,30 +96,33 @@ def parse_render_request(arrays: dict, cfg: Config, smpl) -> tuple:
     if np.asarray(arrays["images"]).dtype == np.uint8:
         imgs = imgs / 255.0
     v = imgs.shape[0]
-    K = _as_f32(arrays, "K", "(V,3,3)").reshape(v, 3, 3)
-    R = _as_f32(arrays, "R", "(V,3,3)").reshape(v, 3, 3)
-    T = _as_f32(arrays, "T", "(V,3)").reshape(v, 3)
+    K = _shaped(arrays, "K", (v, 3, 3))
+    R = _shaped(arrays, "R", (v, 3, 3))
+    T = _shaped(arrays, "T", (v, 3))
     if "masks" in arrays:
         m = np.asarray(arrays["masks"]) != 0
         if m.shape != imgs.shape[:3]:
             raise RequestError(
                 f"masks {m.shape} must match images[:3] {imgs.shape[:3]}")
-        imgs = imgs * m[..., None]
+        if cfg.mask_bkgd:
+            # same background fill the training inputs saw (data/zju.py:258)
+            bg = 1.0 if cfg.white_bkgd else 0.0
+            imgs = np.where(m[..., None], imgs, np.float32(bg))
 
-    Rh = (_as_f32(arrays, "Rh").reshape(3, 3) if "Rh" in arrays
+    Rh = (_shaped(arrays, "Rh", (3, 3)) if "Rh" in arrays
           else np.eye(3, dtype=np.float32))
-    Th = (_as_f32(arrays, "Th").reshape(3) if "Th" in arrays
+    Th = (_shaped(arrays, "Th", (3,)) if "Th" in arrays
           else np.zeros(3, np.float32))
 
     if "verts_world" in arrays:
-        verts_world = _as_f32(arrays, "verts_world").reshape(-1, 3)
-        blend_rot = _as_f32(arrays, "blend_rot", "(Nv,3,3)").reshape(-1, 3, 3)
+        verts_world = _shaped(arrays, "verts_world", (-1, 3))
+        blend_rot = _shaped(arrays, "blend_rot", (-1, 3, 3))
         if blend_rot.shape[0] != verts_world.shape[0]:
             raise RequestError("blend_rot rows != verts_world rows")
     elif "poses" in arrays:
         verts_smpl, _, blend = smpl(
-            _as_f32(arrays, "poses").reshape(-1),
-            _as_f32(arrays, "shapes").reshape(-1),
+            _shaped(arrays, "poses", (-1,)),
+            _shaped(arrays, "shapes", (-1,)),
         )
         # zju stores world verts; smpl coords are (w - Th) @ Rh, so
         # w = smpl @ Rh.T + Th (data/zju.py:388)
@@ -118,7 +137,7 @@ def parse_render_request(arrays: dict, cfg: Config, smpl) -> tuple:
             f"verts_world has {nv} vertices; the served model uses "
             f"{smpl.v_template.shape[0]}")
 
-    vizmaps = (_as_f32(arrays, "vizmaps").reshape(v, nv) if "vizmaps" in arrays
+    vizmaps = (_shaped(arrays, "vizmaps", (v, nv)) if "vizmaps" in arrays
                else np.ones((v, nv), np.float32))
     verts_smpl_t = ((verts_world - Th) @ Rh).astype(np.float32)
 
@@ -129,25 +148,14 @@ def parse_render_request(arrays: dict, cfg: Config, smpl) -> tuple:
         Rh=Rh, Th=Th,
     )
 
-    tK = _as_f32(arrays, "tK", "(3,3)").reshape(3, 3)
-    tR = _as_f32(arrays, "tR", "(3,3)").reshape(3, 3)
-    tT = _as_f32(arrays, "tT", "(3,)").reshape(3)
+    tK = _shaped(arrays, "tK", (3, 3))
+    tR = _shaped(arrays, "tR", (3, 3))
+    tT = _shaped(arrays, "tT", (3,))
     H = int(arrays["H"]) if "H" in arrays else cfg.H_render
     W = int(arrays["W"]) if "W" in arrays else cfg.W_render
     if not (8 <= H <= 8192 and 8 <= W <= 8192):
         raise RequestError(f"unreasonable resolution {H}x{W}")
     return frame, (tK, tR, tT), (H, W)
-
-
-def _can_bounds(verts_world: np.ndarray, big_box: bool) -> np.ndarray:
-    """World AABB, z-inflated (reference prepare_input, can_smpl.py:225-233)."""
-    mn, mx = verts_world.min(0).copy(), verts_world.max(0).copy()
-    if big_box:
-        mn, mx = mn - 0.05, mx + 0.05
-    else:
-        mn[2] -= 0.05
-        mx[2] += 0.05
-    return np.stack([mn, mx])
 
 
 class RenderService:
@@ -163,8 +171,8 @@ class RenderService:
         self.smpl = smpl
         self.renderer = FrameRenderer(cfg, pipe)
         self.n_rendered = 0
-        self.n_overflows = 0
-        self.latencies_ms: list = []
+        # bounded: the process is built to stay resident for weeks
+        self.latencies_ms: "deque" = deque(maxlen=1024)
 
     # -- single-request path (also the unit-test surface) ---------------
     def dispatch(self, arrays: dict):
@@ -172,7 +180,7 @@ class RenderService:
             arrays, self.cfg, self.smpl)
         er = sample_eval_rays(
             np.zeros((H, W, 3), np.float32), tK, tR, tT.reshape(3, 1),
-            _can_bounds(frame.verts_world, self.cfg.big_box),
+            world_bounds(frame.verts_world, self.cfg.big_box),
         )
         if er.rays.ray_o.shape[0] == 0:
             raise RequestError(
@@ -182,10 +190,7 @@ class RenderService:
 
     def fetch(self, dispatched) -> dict:
         dev, er, (H, W) = dispatched
-        before = self.pipe.compact_ratio
         out = self.renderer.fetch(self.params, dev, er)
-        if self.pipe.compact_ratio != before:
-            self.n_overflows += 1
         rgb = np.zeros((H * W, 3), np.float32)
         depth = np.zeros(H * W, np.float32)
         acc = np.zeros(H * W, np.float32)
@@ -229,12 +234,14 @@ class RenderService:
               f"{time.perf_counter() - t0:.1f}s")
 
     def stats(self) -> dict:
-        lat = np.asarray(self.latencies_ms, np.float64)
+        # list() snapshots the deque in one C call (atomic under the GIL);
+        # the executor thread appends concurrently
+        lat = np.asarray(list(self.latencies_ms), np.float64)
         q = (lambda p: float(np.percentile(lat, p))) if lat.size else (
             lambda p: 0.0)
         return {
             "renders": self.n_rendered,
-            "overflow_fallbacks": self.n_overflows,
+            "overflow_fallbacks": self.renderer.n_fallbacks,
             "latency_ms": {
                 "mean": float(lat.mean()) if lat.size else 0.0,
                 "p50": q(50), "p95": q(95),
@@ -361,8 +368,11 @@ def _make_handler(server: RenderServer):
                 n = int(self.headers.get("Content-Length", 0))
                 if n <= 0 or n > 1 << 31:
                     raise RequestError(f"bad Content-Length {n}")
-                arrays = dict(np.load(io.BytesIO(self.rfile.read(n)),
-                                      allow_pickle=False))
+                try:
+                    arrays = dict(np.load(io.BytesIO(self.rfile.read(n)),
+                                          allow_pickle=False))
+                except Exception as e:  # malformed client bytes -> 400
+                    raise RequestError(f"body is not a readable npz: {e}")
                 out = server.submit(arrays).result(timeout=600)
             except RequestError as e:
                 self._json(400, {"error": str(e)})
@@ -397,13 +407,14 @@ def _make_handler(server: RenderServer):
 
 def main(argv=None) -> int:
     from .cli.common import build_runtime, load_smpl, model_dir, parse_args
-    from .train.checkpoint import load_params
 
     args = list(sys.argv[1:] if argv is None else argv)
 
     def _opt(flag, default):
         if flag in args:
             i = args.index(flag)
+            if i + 1 >= len(args):
+                raise SystemExit(f"{flag} requires a value")
             val = args[i + 1]
             del args[i:i + 2]
             return val
@@ -420,9 +431,11 @@ def main(argv=None) -> int:
     from .train.checkpoint import load_checkpoint
 
     ckpt = load_checkpoint(model_dir(cfg), cfg.test.epoch)
-    pe_table = ckpt.get("pe_table") if ckpt else None
-    model, pipe, smpl, _ = build_runtime(cfg, smpl=smpl, pe_table=pe_table)
-    params, epoch = load_params(model_dir(cfg), cfg.test.epoch)
+    if ckpt is None:
+        raise FileNotFoundError(f"no checkpoint in {model_dir(cfg)}")
+    model, pipe, smpl, _ = build_runtime(
+        cfg, smpl=smpl, pe_table=ckpt.get("pe_table"))
+    params, epoch = ckpt["params"], ckpt["epoch"]
     print(f"serve: checkpoint epoch {int(epoch)}, "
           f"exp {cfg.exp_name!r}, {host}:{port}")
 
