@@ -2,3 +2,9 @@
 reference's NCCL/DDP layer, SURVEY.md §2.4)."""
 
 from .mesh import make_mesh, process_shard, replicate, shard_batch  # noqa: F401
+from .tp import (  # noqa: F401
+    make_tp_mesh,
+    make_tp_train_step,
+    shard_train_state,
+    tp_param_specs,
+)

@@ -69,6 +69,34 @@ def init_state(params, tx) -> TrainState:
     )
 
 
+def make_sample_loss(
+    pipe,
+    lpips_fn: Optional[Callable] = None,
+    l2_weight: float = 1.0,
+    lpips_weight: float = 0.1,
+    patch_mode: bool = True,
+    perturb: bool = True,
+):
+    """(params, TrainSample, rng) -> (loss, stats) for ONE sample — the loss
+    composition of the reference's NetworkWrapper (if_nerf_clight.py:43-91),
+    shared by the shard_map DP step here and the GSPMD TP step
+    (parallel/tp.py)."""
+
+    def sample_loss(params, sample: TrainSample, rng):
+        out = pipe.render_train(
+            params, sample.frame, sample.rays, rng, sample_jitter=perturb
+        )
+        if not patch_mode:
+            # the reference's non-patch branch adds img_loss UNWEIGHTED
+            # (if_nerf_clight.py:77-81; l2rec_weight only scales the patch MSE)
+            return random_ray_losses(out["rgb_map"], sample)
+        return patch_losses(
+            out["rgb_map"], sample, lpips_fn, l2_weight, lpips_weight
+        )
+
+    return sample_loss
+
+
 def make_train_step(
     pipe,
     tx,
@@ -91,17 +119,9 @@ def make_train_step(
     `cfg.perturb > 0 and self.net.training` gate (if_clight_renderer.py:276).
     """
 
-    def sample_loss(params, sample: TrainSample, rng):
-        out = pipe.render_train(
-            params, sample.frame, sample.rays, rng, sample_jitter=perturb
-        )
-        if not patch_mode:
-            # the reference's non-patch branch adds img_loss UNWEIGHTED
-            # (if_nerf_clight.py:77-81; l2rec_weight only scales the patch MSE)
-            return random_ray_losses(out["rgb_map"], sample)
-        return patch_losses(
-            out["rgb_map"], sample, lpips_fn, l2_weight, lpips_weight
-        )
+    sample_loss = make_sample_loss(
+        pipe, lpips_fn, l2_weight, lpips_weight, patch_mode, perturb
+    )
 
     def local_step(state: TrainState, batch: TrainSample, rng):
         b = jax.tree_util.tree_leaves(batch)[0].shape[0]
