@@ -73,3 +73,51 @@ def test_two_process_update_matches_single(tmp_path):
             a[k], b[k], rtol=1e-5, atol=1e-6,
             err_msg=f"{k} differs between 1-process and 2-process runs",
         )
+
+
+EVAL_WORKER = Path(__file__).parent / "multihost_eval_worker.py"
+
+
+def _run_eval(pid, n_proc, port, out):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    env.pop("JAX_PLATFORMS", None)
+    return subprocess.Popen(
+        [sys.executable, str(EVAL_WORKER), str(pid), str(n_proc), str(port),
+         str(out)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+
+
+def test_two_process_frame_sharded_eval_matches_single(tmp_path):
+    """cli/run.py frame sharding + metric gather: 2 jax.distributed
+    processes evaluating 7 frames (unequal 4/3 split) must produce the same
+    per-frame metric arrays (content AND order) and summary means as one
+    process."""
+    out1 = tmp_path / "single.npz"
+    out2 = tmp_path / "multi.npz"
+
+    p = _run_eval(0, 1, 0, out1)
+    out, _ = p.communicate(timeout=300)
+    assert p.returncode == 0 and "WORKER_OK" in out, out
+
+    port = _free_port()
+    procs = [_run_eval(i, 2, port, out2) for i in range(2)]
+    logs = []
+    try:
+        for p in procs:
+            o, _ = p.communicate(timeout=300)
+            logs.append(o)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("eval workers timed out\n" + "\n".join(logs))
+    if any(p.returncode != 0 for p in procs):
+        if any("UNAVAILABLE" in log or "DEADLINE_EXCEEDED" in log for log in logs):
+            pytest.skip("jax.distributed unavailable in this environment")
+        pytest.fail("\n".join(logs))
+
+    a, b = np.load(out1), np.load(out2)
+    assert set(a.files) == set(b.files)
+    for k in a.files:
+        np.testing.assert_allclose(a[k], b[k], err_msg=k)

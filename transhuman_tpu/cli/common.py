@@ -15,6 +15,25 @@ from ..models.network import TransHumanNet  # noqa: F401  registers 'transhuman'
 from ..render.pipeline import RenderPipeline  # noqa: F401  registers 'clight'
 
 
+def maybe_init_distributed():
+    """Multi-host bring-up (the torch.distributed.launch / env:// analog,
+    train_net.py:116-123).  Explicit env triple JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID initializes directly; on managed
+    clusters (Cloud TPU pods, SLURM) jax.distributed auto-detects, so the
+    triple is only needed for hand-rolled launches.  Used by the train CLI
+    (DP training) and the run CLI (frame-sharded evaluation)."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+        process_id=int(os.environ["JAX_PROCESS_ID"]),
+    )
+
+
 def _honor_jax_platforms_env():
     """Apply JAX_PLATFORMS via jax.config: some PJRT plugins (the axon TPU
     tunnel) ignore the environment variable, which silently puts CPU-only

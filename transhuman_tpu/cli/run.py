@@ -175,20 +175,39 @@ def make_eval_lpips_fn(cfg):
     )
 
 
+def _frame_shard(indices):
+    """This process's strided slice of the FrameSampler sequence, plus each
+    frame's global ordinal.  Under `jax.distributed` the eval/visualize/mesh
+    frame loops scale across processes (the frames are independent; the
+    reference's eval is strictly one GPU, run.py:7-55); single-process this
+    is the identity."""
+    idx = np.asarray(indices)
+    n_proc, proc = jax.process_count(), jax.process_index()
+    if n_proc == 1:
+        return idx, np.arange(idx.size)
+    return idx[proc::n_proc], np.arange(proc, idx.size, n_proc)
+
+
 def evaluate_frames(cfg, pipe, params, dataset, ev, per_frame=None, tag=""):
     """Shared pipelined evaluation loop (run_evaluate AND the train CLI's
     --test validation pass): render every FrameSampler frame with overflow
     auto-recovery, feed the evaluator, print one line per frame.
 
+    Multi-process (`jax.distributed`): frames are sharded across processes,
+    per-frame metrics gathered back in global order, and the summary files
+    written by process 0 only — the returned summary is identical to a
+    single-process run on every process.
+
     per_frame(item, out) -> extra stats dict, accumulated into a mean.
     Returns (evaluator summary, mean extra stats)."""
     renderer = FrameRenderer(cfg, pipe)
+    local_idx, positions = _frame_shard(dataset.frame_sampler_indices())
     items = Loader(
         lambda i: dataset.get_eval_item(int(i)),
-        dataset.frame_sampler_indices(),
+        local_idx,
         prefetch=2,
     )  # overlap host decode/undistort with the device render
-    extra_sum, n_frames = {}, 0
+    extra_vals, n_frames = {}, 0
     for item, out_dev in _pipelined(
         items,
         lambda it: renderer.dispatch(params, it.frame, it.eval_rays),
@@ -203,14 +222,30 @@ def evaluate_frames(cfg, pipe, params, dataset, ev, per_frame=None, tag=""):
         )
         extra = per_frame(item, out) if per_frame else {}
         for k, v in extra.items():
-            extra_sum[k] = extra_sum.get(k, 0.0) + v
+            extra_vals.setdefault(k, []).append(float(v))
         n_frames += 1
         print(f"[{tag}{item.human} f{item.frame_index} c{item.cam_ind}] "
               + "  ".join(f"{k}: {v:.4f}" for k, v in extra.items())
               + ("  " if extra else "")
               + "  ".join(f"{k}: {v:.4f}" for k, v in r.items() if v is not None))
-    summary = ev.summarize()
-    return summary, {k: v / max(n_frames, 1) for k, v in extra_sum.items()}
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils as mh
+
+        from ..evals.evaluator import merge_across_processes
+        from ..parallel.mesh import gather_positioned
+
+        merge_across_processes(ev, positions[:n_frames])
+        # extra keys exist only on processes that evaluated >=1 frame; the
+        # per-key gathers are collectives, so skip them unless every process
+        # has frames (i.e. #frames >= #processes) — the metric merge above
+        # uses a fixed name list and is always safe
+        if int(np.asarray(mh.process_allgather(np.int64(n_frames))).min()):
+            extra_vals = {
+                k: gather_positioned(v, positions[: len(v)])
+                for k, v in extra_vals.items()
+            }
+    summary = ev.summarize(write=jax.process_index() == 0)
+    return summary, {k: float(np.mean(v)) for k, v in extra_vals.items()}
 
 
 def run_evaluate(cfg, pipe, model, smpl, dataset=None):
@@ -237,9 +272,10 @@ def run_visualize(cfg, pipe, model, smpl, dataset=None):
     renderer = FrameRenderer(cfg, pipe)
 
     humans = set()
+    local_idx, _ = _frame_shard(dataset.frame_sampler_indices(full_eval=True))
     items = Loader(
         lambda i: dataset.get_perform_item(int(i), render_views=cfg.render_views),
-        dataset.frame_sampler_indices(full_eval=True),
+        local_idx,
         prefetch=2,
     )
     for item, out_dev in _pipelined(
@@ -252,6 +288,19 @@ def run_visualize(cfg, pipe, model, smpl, dataset=None):
                           item.frame_index, human=item.human)
         humans.add(item.human)
         print("wrote", p)
+    if jax.process_count() > 1:
+        # frame-sharded: wait for every process's PNGs, then assemble each
+        # human's video once on process 0 (assumes the shared result dir of
+        # a single-host multi-process or GCS-backed pod launch)
+        from jax.experimental import multihost_utils as mh
+
+        mh.sync_global_devices("visualize_frames_done")
+        if jax.process_index() != 0:
+            return
+        humans = {
+            h for h in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, h))
+        }
     for h in humans:
         v = frames_to_video(os.path.join(out_dir, h),
                             os.path.join(out_dir, f"{h}.mp4"))
@@ -263,7 +312,8 @@ def run_reconstruction(cfg, pipe, model, smpl, dataset=None):
     params, _ = load_params(model_dir(cfg), cfg.test.epoch)
     out_dir = os.path.join(result_dir(cfg), "mesh")
     os.makedirs(out_dir, exist_ok=True)
-    for i in dataset.frame_sampler_indices():
+    local_idx, _ = _frame_shard(dataset.frame_sampler_indices())
+    for i in local_idx:
         frame, can_bounds, meta = dataset.get_mesh_item(int(i))
         verts, tris, _ = extract_mesh(
             pipe, params, frame, can_bounds,
@@ -277,6 +327,9 @@ def run_reconstruction(cfg, pipe, model, smpl, dataset=None):
 
 
 def main(argv=None, dataset=None, smpl=None):
+    from .common import maybe_init_distributed
+
+    maybe_init_distributed()  # frame-sharded eval across processes
     args, cfg = parse_args(argv, need_type=True)
     cfg = cfg.merge_dict({"run_mode": "test", "perturb": 0.0})
     if args.type == "light_stage":

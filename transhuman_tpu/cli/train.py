@@ -32,22 +32,7 @@ def stack_samples(samples):
     return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *samples)
 
 
-def _maybe_init_distributed():
-    """Multi-host bring-up (the torch.distributed.launch / env:// analog,
-    train_net.py:116-123).  Explicit env triple JAX_COORDINATOR_ADDRESS /
-    JAX_NUM_PROCESSES / JAX_PROCESS_ID initializes directly; on managed
-    clusters (Cloud TPU pods, SLURM) jax.distributed auto-detects, so the
-    triple is only needed for hand-rolled launches."""
-    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if not addr:
-        return
-    import jax
-
-    jax.distributed.initialize(
-        coordinator_address=addr,
-        num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-        process_id=int(os.environ["JAX_PROCESS_ID"]),
-    )
+from .common import maybe_init_distributed as _maybe_init_distributed  # noqa: E402
 
 
 def validate(cfg, dataset=None, smpl=None):

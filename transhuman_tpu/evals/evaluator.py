@@ -127,12 +127,18 @@ class Evaluator:
         }
 
     # ------------------------------------------------------------------
-    def summarize(self) -> dict:
-        os.makedirs(self.result_dir, exist_ok=True)
-        for name in ("mse", "psnr", "ssim", "lpips"):
-            np.save(
-                os.path.join(self.result_dir, f"{name}.npy"), getattr(self, name)
-            )
+    def summarize(self, write: bool = True) -> dict:
+        """write=False computes the summary dict without touching the
+        filesystem (non-zero ranks of a frame-sharded eval: the metrics are
+        already merged globally, but only process 0 owns the output files,
+        matching the reference's rank-0-only I/O, recorder.py:41)."""
+        if write:
+            os.makedirs(self.result_dir, exist_ok=True)
+            for name in ("mse", "psnr", "ssim", "lpips"):
+                np.save(
+                    os.path.join(self.result_dir, f"{name}.npy"),
+                    getattr(self, name),
+                )
         out = {
             "experiment": self.exp_name,
             "epoch": self.epoch,
@@ -148,11 +154,34 @@ class Evaluator:
             text["lpips"] = "n/a (no VGG weights — set cfg.lpips_weights)"
         if self.ssim_dr1:
             text["ssim(data_range=1.0)"] = float(np.mean(self.ssim_dr1))
-        with open(os.path.join(self.result_dir, "summary.txt"), "w") as f:
-            f.writelines(f"{k}: {v}\n" for k, v in text.items())
+        if write:
+            with open(os.path.join(self.result_dir, "summary.txt"), "w") as f:
+                f.writelines(f"{k}: {v}\n" for k, v in text.items())
         self.mse, self.psnr, self.ssim, self.lpips = [], [], [], []
         self.ssim_dr1 = []
         return out
+
+
+def merge_across_processes(ev: Evaluator, positions) -> Evaluator:
+    """Frame-sharded eval: merge the per-frame metric lists accumulated by
+    every process into each process's evaluator, ordered by the frames'
+    global positions — so `summarize()` equals a single-process run exactly
+    (content and .npy order).  `positions[i]` is the global FrameSampler
+    ordinal of the i-th frame this process evaluated.  No-op single-process.
+    The reference has no analog: its eval is strictly one GPU (run.py:7-55).
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return ev
+    from ..parallel.mesh import gather_positioned
+
+    for name in ("mse", "psnr", "ssim", "ssim_dr1", "lpips"):
+        vals = getattr(ev, name)
+        # lpips is either per-frame or entirely absent (no weights)
+        merged = gather_positioned(vals, positions[: len(vals)])
+        setattr(ev, name, [float(x) for x in merged])
+    return ev
 
 
 from ..registry import EVALUATORS

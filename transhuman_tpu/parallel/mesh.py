@@ -58,6 +58,41 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def gather_positioned(values, positions):
+    """Merge per-process (value, global-position) pairs across all
+    processes and return the values in global-position order.
+
+    The frame-sharded eval path (cli/run.py): each process evaluates frames
+    `positions` of the FrameSampler sequence and holds `values` metrics for
+    them; the merged list is identical (content AND order) to what a
+    single-process run would have accumulated.  Per-process counts may be
+    unequal (gathers are padded with NaN up to the max count).  Single
+    process: returns `values` unchanged.
+    """
+    vals = np.asarray(values, np.float64)
+    pos = np.asarray(positions, np.int64)
+    if vals.shape != pos.shape:
+        raise ValueError(f"{vals.shape} values vs {pos.shape} positions")
+    if jax.process_count() == 1:
+        return [v for _, v in sorted(zip(pos.tolist(), vals.tolist()))]
+    from jax.experimental import multihost_utils as mh
+
+    counts = np.asarray(mh.process_allgather(np.int64(vals.size)))
+    m = int(counts.max()) if counts.size else 0
+    if m == 0:
+        return []
+    vbuf = np.full((m,), np.nan)
+    pbuf = np.full((m,), -1, np.int64)
+    vbuf[: vals.size] = vals
+    pbuf[: pos.size] = pos
+    all_v = np.asarray(mh.process_allgather(vbuf))  # (P, m)
+    all_p = np.asarray(mh.process_allgather(pbuf))
+    keep = all_p.reshape(-1) >= 0
+    flat_v, flat_p = all_v.reshape(-1)[keep], all_p.reshape(-1)[keep]
+    order = np.argsort(flat_p, kind="stable")
+    return flat_v[order].tolist()
+
+
 def process_shard(n_items: int, shuffle_rng: Optional[np.random.Generator] = None):
     """Per-process item indices — the DistributedSampler analog
     (samplers.py:88-133): contiguous shard of a (optionally shuffled) range."""
