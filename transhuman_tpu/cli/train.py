@@ -98,9 +98,21 @@ def main(argv=None, dataset=None, smpl=None):
         return validate(cfg, dataset=dataset, smpl=smpl)
     seed_everything(cfg.seed)
 
-    mesh = make_mesh(cfg.mesh_axis_data or None)  # 0 = all devices
-    n_dev = mesh.devices.size
-    sync_bn = ("batch", "data")
+    tp = cfg.mesh_axis_model > 1
+    if tp:
+        # tensor-parallel: 2-D ('data','model') mesh, GSPMD step — the
+        # SyncBN reduction is the global vmapped batch axis (parallel/tp.py)
+        from ..parallel.tp import make_tp_mesh
+
+        n_data = cfg.mesh_axis_data or (
+            jax.device_count() // cfg.mesh_axis_model
+        )
+        mesh = make_tp_mesh(n_data, cfg.mesh_axis_model)
+        sync_bn = ("batch",)
+    else:
+        mesh = make_mesh(cfg.mesh_axis_data or None)  # 0 = all devices
+        sync_bn = ("batch", "data")
+    n_dev = mesh.shape["data"]  # batch scales with the data axis only
     model, pipe, smpl, cluster = build_runtime(cfg, axis_name=sync_bn, smpl=smpl)
 
     lpips_fn = None
@@ -124,14 +136,20 @@ def main(argv=None, dataset=None, smpl=None):
         weight_decay=cfg.train.weight_decay,
         optim=cfg.train.optim,
     )
-    from ..registry import TRAINERS
-
-    step_fn = TRAINERS.get(cfg.trainer)(
-        pipe, tx, mesh=mesh, lpips_fn=lpips_fn,
+    step_kw = dict(
+        lpips_fn=lpips_fn,
         l2_weight=cfg.l2rec_weight, lpips_weight=cfg.lpips_weight,
         patch_mode=cfg.patch.use_patch_sampling,
         perturb=cfg.perturb > 0,
     )
+    if tp:
+        from ..parallel.tp import make_tp_train_step
+
+        step_fn = make_tp_train_step(pipe, tx, mesh, **step_kw)
+    else:
+        from ..registry import TRAINERS
+
+        step_fn = TRAINERS.get(cfg.trainer)(pipe, tx, mesh=mesh, **step_kw)
 
     dataset = dataset or make_dataset(cfg, "train", smpl=smpl)
     mdir = model_dir(cfg)
@@ -170,6 +188,11 @@ def main(argv=None, dataset=None, smpl=None):
                 params = apply_pretrained(params, dict(z))
             print(f"loaded pretrained encoder weights: {cfg.encoder_weights}")
         state = init_state(params, tx)
+    if tp:
+        # place params + Adam moments sharded over 'model' (fresh AND resume)
+        from ..parallel.tp import shard_train_state
+
+        state = shard_train_state(mesh, state)
 
     rng0 = jax.random.PRNGKey(cfg.seed)
     global_batch = n_dev * cfg.train.batch_size

@@ -188,6 +188,9 @@ class Config:
     mesh_axis_data: int = 0  # data-parallel mesh size for training (0 = all
     # local devices, the reference's DDP-over-all-GPUs default)
     mesh_axis_rays: int = 1  # ray/sequence-parallel mesh size for inference
+    mesh_axis_model: int = 1  # tensor-parallel mesh size for training: > 1
+    # trains on a ('data','model') mesh with the ViT params + Adam moments
+    # sharded over 'model' (parallel/tp.py; for vit_small/vit_base scale)
 
     # --- ray sampling ---
     patch: PatchConfig = field(default_factory=PatchConfig)
