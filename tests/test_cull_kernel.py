@@ -3,7 +3,7 @@
 import numpy as np
 import jax.numpy as jnp
 
-from transhuman_tpu.kernels.cull import TILE_N, min_dist2_fused
+from transhuman_tpu.experiments.cull import TILE_N, min_dist2_fused
 from transhuman_tpu.ops.knn import min_dist
 
 

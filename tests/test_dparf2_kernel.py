@@ -1,4 +1,4 @@
-"""Transposed fused DPaRF kernel (kernels/dparf2) vs the jnp reference path
+"""Transposed fused DPaRF kernel (experiments/dparf2) vs the jnp reference path
 (interpret mode on CPU; the same kernel compiles with Mosaic on TPU, where
 it measured 184 ms vs XLA's 174 ms — kept as a documented experiment)."""
 
@@ -6,7 +6,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from transhuman_tpu.kernels.dparf2 import TILE, dparf_fused2
+from transhuman_tpu.experiments.dparf2 import TILE, dparf_fused2
 from transhuman_tpu.models.heads import dparf_representation
 
 

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from transhuman_tpu.kernels.dparf import TILE, dparf_fused
+from transhuman_tpu.experiments.dparf import TILE, dparf_fused
 from transhuman_tpu.models.heads import dparf_representation
 
 

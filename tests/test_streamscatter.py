@@ -1,6 +1,6 @@
 """Pallas stream-scatter d_feat backward: equality against the XLA path.
 
-The kernel (kernels/streamscatter.py) replaces the sorted segment-sum
+The kernel (experiments/streamscatter.py) replaces the sorted segment-sum
 scatter in ops/sampling.py's custom VJP; these tests pin (a) the raw
 kernel against a numpy scatter oracle over adversarial id patterns and
 (b) the integrated grad path (USE_STREAM_SCATTER forced on, interpret
@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from transhuman_tpu.kernels.streamscatter import (
+from transhuman_tpu.experiments.streamscatter import (
     BLOCK_B,
     W_SPAN,
     dfeat_scatter_sorted,

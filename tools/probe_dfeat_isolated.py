@@ -3,7 +3,7 @@ with a real (data-dependent) cotangent and an optional vmap(1) wrapper.
 
 Measured (v5e, train scale, uniform uv): xla novmap 66.4 / vmap1 68.2,
 kernel novmap 30.8 / vmap1 46.7 ms/iter — the kernel WINS isolated, yet
-loses inside the full train step (see kernels/streamscatter.py docstring
+loses inside the full train step (see experiments/streamscatter.py docstring
 and tools/probe_step_ablate.py).  Lesson: an all-ones cotangent
 (loss=sum) lets XLA fold the row-gather and understates the XLA path;
 always probe with a weighted cotangent, and never trust isolated-op

@@ -14,7 +14,7 @@ MEASURED (v5e): sort plan 13.0 ms/iter, bucket plan 24.8 — the full
 argsort is CHEAP (the old 42 ms figure was the 4N tap-major sort, long
 gone) and the bucket plan's (N, NW) rank cumsum + permutation-inversion
 scatter cost more than the sort they replace.  Counting-sort grouping is
-a dead end here; see kernels/streamscatter.py for the full story.
+a dead end here; see experiments/streamscatter.py for the full story.
 """
 import time
 

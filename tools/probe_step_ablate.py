@@ -22,7 +22,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-import transhuman_tpu.kernels.streamscatter as SS
+import transhuman_tpu.experiments.streamscatter as SS
 import transhuman_tpu.ops.sampling as sampling
 from transhuman_tpu.testing import init_params, synthetic_rays, synthetic_setup
 from transhuman_tpu.train import TrainSample, make_optimizer, make_train_step

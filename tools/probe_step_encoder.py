@@ -43,7 +43,7 @@ reduce_window's SelectAndScatter transpose is NOT a bottleneck here —
 the 9-slice maximum tree pays more in slice/select traffic than the
 transpose saves.  Closed negative; keep reduce_window.
 
-In-step ablation, not isolated probes: see kernels/streamscatter.py for
+In-step ablation, not isolated probes: see experiments/streamscatter.py for
 why isolated numbers mislead here.
 """
 import sys

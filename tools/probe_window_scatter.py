@@ -30,7 +30,7 @@ gather-transpose measured 2.2 s/step before the custom VJP).  Fewer
 scatter rows do NOT help because the slow path is not descriptor-bound,
 it is serialization-bound.  The 4x C-wide sorted segment-sums in
 ops/sampling.py::_sfm_bwd are the optimal XLA formulation; together
-with the Pallas stream-scatter closure (kernels/streamscatter.py) every
+with the Pallas stream-scatter closure (experiments/streamscatter.py) every
 known reformulation of the sampling backward is now measured.
 """
 import os

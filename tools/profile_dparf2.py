@@ -1,4 +1,4 @@
-"""A/B the transposed DPaRF kernel (kernels/dparf2) vs the XLA composition
+"""A/B the transposed DPaRF kernel (experiments/dparf2) vs the XLA composition
 and the v1 kernel on the real chip.  One process, forced readback."""
 import time
 
@@ -9,7 +9,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from transhuman_tpu.kernels.dparf2 import dparf_fused2
+from transhuman_tpu.experiments.dparf2 import dparf_fused2
 from transhuman_tpu.models.heads import dparf_representation
 
 N, C, V, D = 1_048_576, 300, 3, 192

@@ -1,7 +1,7 @@
 import time, jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-from transhuman_tpu.kernels.dparf import dparf_fused
+from transhuman_tpu.experiments.dparf import dparf_fused
 from transhuman_tpu.models.heads import dparf_representation
 
 rng = np.random.default_rng(0)

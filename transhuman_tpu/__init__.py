@@ -15,7 +15,7 @@ Layout:
     data/       — host-side input pipeline (ZJU-MoCap + synthetic), fixed-shape batches
     models/     — encoder CNN, TransHE ViT, DPaRF binding, NeRF heads (flax)
     render/     — volume rendering orchestration: the jitted render step
-    kernels/    — Pallas TPU kernels (fused kNN + gather + aggregate, culling)
+    experiments/ — measured-negative Pallas kernel experiments (see docs/PERF.md)
     parallel/   — device mesh + sharding helpers (DP training, ray-sharded inference)
     train/      — loss (MSE + LPIPS), optimizer/schedule, train step, checkpointing
     eval/       — PSNR/SSIM/LPIPS evaluator

@@ -174,7 +174,7 @@ class Config:
     chunk_size: int = 32768  # points per inference chunk (if_clight_renderer.py:575)
     cull_distance: float = 0.1  # SMPL-distance point cull (if_clight_renderer.py:442)
     pad_bucket: int = 8192  # ray-count padding granularity for static shapes
-    use_pallas_knn: bool = False  # fused Pallas DPaRF kernel (kernels/dparf.py;
+    use_pallas_knn: bool = False  # fused Pallas DPaRF kernel (experiments/dparf.py;
     # measured slower than the XLA composition on v5e — see its docstring)
     compact_ratio: Optional[float] = 0.3  # static-capacity compaction: decode
     # only culled-survivor points packed into ratio*N slots (the reference's

@@ -65,15 +65,26 @@ class Evaluator:
     ) -> dict:
         import cv2
 
+        # degenerate-frame guard: an empty mask (0 rays) or a bbox tinier
+        # than the 7x7 SSIM window would otherwise yield NaN metrics with a
+        # numpy RuntimeWarning deep inside the filters — fail loudly WITH the
+        # frame identity instead (skimage raises on the same inputs, so the
+        # reference eval would not survive such a frame either; if_nerf.py:39-62)
+        x, y, w, h = cv2.boundingRect(mask_at_box.reshape(hw).astype(np.uint8))
+        if len(rgb_pred) == 0 or min(h, w) < 7:
+            raise ValueError(
+                f"degenerate eval frame: human={human} frame={frame_index} "
+                f"cam={cam_ind} — mask_at_box has {int(np.sum(mask_at_box))} "
+                f"pixels, bbox {w}x{h} (needs >= 7x7 for SSIM). The mask is "
+                "empty or nearly so; check the dataset masks/bounds."
+            )
+
         self.mse.append(metrics.mse(rgb_pred, rgb_gt))
         self.psnr.append(metrics.psnr(rgb_pred, rgb_gt))
 
         img_pred = self._reconstruct(rgb_pred, mask_at_box, hw, white_bkgd)
         img_gt = self._reconstruct(rgb_gt, mask_at_box, hw, white_bkgd)
         # crop to the tight bbox of the rendered region (if_nerf.py:58-62)
-        x, y, w, h = cv2.boundingRect(
-            mask_at_box.reshape(hw).astype(np.uint8)
-        )
         crop_pred = img_pred[y : y + h, x : x + w]
         crop_gt = img_gt[y : y + h, x : x + w]
 

@@ -38,9 +38,19 @@ def ssim(
     K1: float = 0.01,
     K2: float = 0.03,
 ) -> float:
-    """pred/gt: (H, W) or (H, W, C) float images."""
+    """pred/gt: (H, W) or (H, W, C) float images.
+
+    Raises ValueError when either image extent is smaller than `win_size`
+    (the border-cropped SSIM map would be empty -> NaN-with-RuntimeWarning);
+    skimage.structural_similarity raises in the same situation ("win_size
+    exceeds image extent"), so this matches reference behavior."""
     pred = np.asarray(pred, np.float64)
     gt = np.asarray(gt, np.float64)
+    if min(pred.shape[:2], default=0) < win_size:
+        raise ValueError(
+            f"ssim: image extent {pred.shape[:2]} is smaller than the "
+            f"{win_size}x{win_size} window (empty or degenerate crop)"
+        )
     if pred.ndim == 3:
         return float(
             np.mean(

@@ -2,8 +2,8 @@
 
 Same math as models/heads.dparf_representation (the reference's
 `knn_points` + gather + softmax aggregation, cross_transformer.py:158-205)
-and as kernels/dparf.py, but laid out to avoid the two things that made v1
-LOSE to XLA (455 ms vs 167 ms, see kernels/dparf.py:18-25):
+and as experiments/dparf.py, but laid out to avoid the two things that made v1
+LOSE to XLA (455 ms vs 167 ms, see experiments/dparf.py:18-25):
 
 * **Points live in lanes, clusters in sublanes.**  The distance tile is
   (Cp, T) instead of (T, Cp), so the k-NN min runs down the *sublane* axis

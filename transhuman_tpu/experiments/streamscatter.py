@@ -37,7 +37,7 @@ residuals, and replace the argsort) costs 24.8 ms vs the sort plan's
 42 ms figure was the long-gone 4N tap-major sort).  VERDICT: the XLA
 sorted-segment-sum path ships (ops/sampling.py auto-gate returns False);
 this kernel stays as a measured negative with its tests, like
-kernels/dparf2.py.  Do not revisit without a design that (a) needs NO
+experiments/dparf2.py.  Do not revisit without a design that (a) needs NO
 residual machinery for arbitrary id spreads, (b) beats the in-step (not
 isolated) segment-sums, and (c) keeps plan glue under the sort's 13 ms.
 

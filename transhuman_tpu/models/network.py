@@ -112,7 +112,7 @@ class TransHumanNet(nn.Module):
 
     def decode(self, human_rep, pixel_feat, viewdir_embed, pts_mask=None):
         """Heads-only decode for externally computed DPaRF representations
-        (the fused Pallas kernel path, kernels/dparf.py)."""
+        (the fused Pallas kernel path, experiments/dparf.py)."""
         return self.heads(human_rep, pixel_feat, viewdir_embed, pts_mask)
 
     def __call__(self, images, tokens_pe, pts_smpl, centers, rot, viewdir_embed):

@@ -54,7 +54,7 @@ def project_points(xyz, K, R, T):
 
 # d_feat backward engine: None = auto (currently the XLA sorted
 # segment-sums everywhere).  The Pallas stream-scatter kernel
-# (kernels/streamscatter.py) wins standalone on TPU (38.5 vs 67 ms/iter at
+# (experiments/streamscatter.py) wins standalone on TPU (38.5 vs 67 ms/iter at
 # train scale, bit-exact) but measured SLOWER inside the full vmapped train
 # step (284 vs 212 ms/step) — under investigation; OFF until the integrated
 # win is demonstrated.  Tests force True (interpret-mode Pallas on CPU) /
@@ -63,12 +63,12 @@ USE_STREAM_SCATTER = None
 
 
 def _use_stream_scatter(n, hw, wf):
-    from ..kernels.streamscatter import BLOCK_B, MAX_IDS, W_SPAN
+    if USE_STREAM_SCATTER is None:
+        return False  # default path: experiments/ never imported (VERDICT r3 #8)
+    from ..experiments.streamscatter import BLOCK_B, MAX_IDS, W_SPAN
 
-    if USE_STREAM_SCATTER is not None:
-        ok = n % BLOCK_B == 0 and n <= MAX_IDS and hw % W_SPAN == 0 and wf >= 2
-        return USE_STREAM_SCATTER and ok
-    return False
+    ok = n % BLOCK_B == 0 and n <= MAX_IDS and hw % W_SPAN == 0 and wf >= 2
+    return USE_STREAM_SCATTER and ok
 
 
 def _sample_taps(feat, uv, image_shape):
@@ -206,7 +206,7 @@ def _sfm_bwd(image_shape, res, g):
             return acc
 
         if _use_stream_scatter(g_rows.shape[0], Hf * Wf, Wf):
-            from ..kernels.streamscatter import dfeat_scatter_sorted
+            from ..experiments.streamscatter import dfeat_scatter_sorted
 
             # exact for every input — residual rows beyond the window
             # budget are drained in-graph by the kernel's while_loop (NO

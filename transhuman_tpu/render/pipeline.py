@@ -283,16 +283,18 @@ class RenderPipeline:
 
     def _cull(self, pts_smpl, verts_smpl):
         """SMPL-proximity mask (dist < cull_distance); fused Pallas kernel
-        when shapes allow (kernels/cull.py), blocked XLA scan otherwise."""
-        from ..kernels.cull import TILE_N, min_dist2_fused
-
+        when shapes allow (experiments/cull.py), blocked XLA scan otherwise."""
         n = pts_smpl.shape[0]
-        if self.use_pallas_cull and n % TILE_N == 0:
-            d2 = min_dist2_fused(
-                pts_smpl, verts_smpl,
-                interpret=jax.devices()[0].platform == "cpu",
-            )
-            return d2 < self.cull_distance**2
+        if self.use_pallas_cull:
+            # experiments/ import stays off the default path (VERDICT r3 #8)
+            from ..experiments.cull import TILE_N, min_dist2_fused
+
+            if n % TILE_N == 0:
+                d2 = min_dist2_fused(
+                    pts_smpl, verts_smpl,
+                    interpret=jax.devices()[0].platform == "cpu",
+                )
+                return d2 < self.cull_distance**2
         # bf16 arithmetic: the cull is VPU-bound and the threshold wobble at
         # bf16 precision (~0.4% of 0.1 m) only perturbs empty-air boundary
         # points whose density contribution is ~0
@@ -331,9 +333,13 @@ class RenderPipeline:
             pixel_feat = pixel_feat * pro.pixel_scale.astype(pixel_feat.dtype)
 
         m = self.model
-        from ..kernels.dparf import TILE, dparf_fused
+        use_fused = False
+        if allow_pallas and self.use_pallas:
+            # experiments/ import stays off the default path (VERDICT r3 #8)
+            from ..experiments.dparf import TILE, dparf_fused
 
-        if allow_pallas and self.use_pallas and pts_world.shape[0] % TILE == 0:
+            use_fused = pts_world.shape[0] % TILE == 0
+        if use_fused:
             tok, pe, dist = dparf_fused(
                 pts_smpl,
                 pro.centers,
