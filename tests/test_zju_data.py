@@ -142,6 +142,63 @@ def test_eval_item_contract(fake_zju):
     )
 
 
+def test_input_view_cache_equality_and_hits(fake_zju):
+    """The processed-input-view LRU (VERDICT r3 #3) must (a) return items
+    bit-identical to an uncached build, (b) actually hit for consecutive
+    items of the same frame, (c) stay OFF when jitter is on."""
+    cfg, smpl, info = fake_zju
+    ds_cold = ZJUDataset(cfg, "test", smpl=smpl, human_info=info)
+    ds_warm = ZJUDataset(cfg, "test", smpl=smpl, human_info=info)
+
+    def leaves(item):
+        f = item.frame
+        return [f.images, f.vizmaps, f.K, f.R, f.T, f.verts_world,
+                f.tar_verts_smpl, item.target_img]
+
+    calls = {"n": 0}
+    orig = ZJUDataset._process
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    ZJUDataset._process = counting
+    try:
+        warm_items = [ds_warm.get_eval_item(i) for i in range(2)]
+        n_after_warm = calls["n"]
+        # item 0: 1 target + V inputs processed; item 1 (same frame 0? no —
+        # one target view per frame here, so different frames): count just
+        # proves the counter works.  The real hit assertion: rebuilding item
+        # 0 costs exactly ONE _process call (its target view).
+        calls["n"] = 0
+        again = ds_warm.get_eval_item(0)
+        assert calls["n"] == 1, f"expected only the target re-processed, got {calls['n']}"
+    finally:
+        ZJUDataset._process = orig
+    assert n_after_warm >= 2
+
+    for i, w in enumerate(warm_items):
+        ds_cold._iv_cache.clear()
+        c = ds_cold.get_eval_item(i)
+        for a, b in zip(leaves(c), leaves(w)):
+            np.testing.assert_array_equal(a, b)
+    for a, b in zip(leaves(ds_cold.get_eval_item(0)), leaves(again)):
+        np.testing.assert_array_equal(a, b)
+
+    # jitter on (train items) -> bypass: nothing new lands in the cache
+    ds_tr = ZJUDataset(cfg, "train", smpl=smpl, human_info=info)
+    ds_tr.set_epoch(0)
+    ds_tr.get_train_sample(0)
+    assert len(ds_tr._iv_cache) == 0
+
+    # byte-bound eviction keeps the cache under budget (eviction runs on
+    # insert, so start cold)
+    ds_warm._iv_cache.clear()
+    ds_warm._iv_cache_bytes = 1  # every insert evicts down to 1 entry
+    ds_warm.get_eval_item(1)
+    assert len(ds_warm._iv_cache) == 1
+
+
 def test_frame_sampler(fake_zju):
     cfg, smpl, info = fake_zju
     ds = ZJUDataset(cfg, "test", smpl=smpl, human_info=info)

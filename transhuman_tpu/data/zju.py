@@ -43,6 +43,23 @@ from .ray_sampling import (
     sample_train_rays_random,
 )
 
+def _imread_rgb(p):
+    """JPG frames load via cv2 (libjpeg-turbo, releases the GIL for the
+    loader's worker threads; ~2x imageio/PIL).  The reference reads with
+    imageio (can_smpl.py:339) — RGB order preserved here; jpeg decoder
+    differences are at most +-1 u8 LSB.  Palette-PNG masks stay on imageio
+    (_load_mask): cv2 would apply the palette in BGR and flip the channel
+    the != 0 test reads.  cv2.imread returns None (no exception) for
+    missing/corrupt files; raise with the path — inside a Loader worker a
+    bare cv2.error surfaces far from the offending frame."""
+    import cv2
+
+    img = cv2.imread(p)
+    if img is None:
+        raise FileNotFoundError(f"unreadable image: {p}")
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
 SPECIAL_HUMANS = ("CoreView_313", "CoreView_315")
 # 313/315 store 23 entries with cameras 19/20 missing from disk
 CAM_IDX_313 = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 21, 22]
@@ -88,6 +105,17 @@ class ZJUDataset:
         self.smpl = smpl
         self.epoch = 0
         self._ud_cache: Dict[tuple, tuple] = {}  # undistort maps per cam+size
+        # processed-input-view LRU (jitter-off items only): FrameSampler keeps
+        # every target camera of a kept frame (samplers.py:136-164), so eval/
+        # visualize items arrive in runs of len(test.target_view) that share
+        # the SAME input views — without this each run re-decoded,
+        # re-undistorted, re-resized and re-read vizmaps len(target_view)
+        # times (~the whole 216 ms/sample host cost).  Byte-bounded like the
+        # ray-grid LRU (geometry/rays.py:137-167).
+        from collections import OrderedDict
+
+        self._iv_cache: "OrderedDict" = OrderedDict()
+        self._iv_cache_bytes = 128 * 1024 * 1024
 
         if human_info is None:
             human_info = catalog.get_human_info(split, cfg.test.mode)
@@ -306,6 +334,50 @@ class ZJUDataset:
         except (FileNotFoundError, OSError):
             return np.ones(self.smpl.v_template.shape[0], np.float32)
 
+    def _input_view(self, human, v, frame_file, frame_str, jseed):
+        """One fully-processed input view: (img, K, R, T, vizmap, depth|None).
+
+        LRU-cached by (human, view, frame) when jitter is off (jseed None) —
+        the cache would otherwise leak one epoch's jitter draws into the
+        next.  Consecutive eval items of the same frame (one per target
+        camera, FrameSampler semantics samplers.py:136-164) then pay the
+        decode/undistort/resize/vizmap cost once instead of once per target.
+        Cached arrays are read-only shared views; `np.stack` in _build_frame
+        copies them into each item."""
+        key = (human, v, frame_file)
+        if jseed is None:
+            hit = self._iv_cache.get(key)
+            if hit is not None:
+                self._iv_cache.move_to_end(key)
+                return hit
+        cam_id = (CAM_IDX_313[v] + 1) if human in SPECIAL_HUMANS else (v + 1)
+        ipath = os.path.join(
+            self.data_root, human, self._cam_dir(human, cam_id), frame_file
+        )
+        iimg = _imread_rgb(ipath)
+        imsk = self._load_mask(human, self._cam_dir(human, cam_id), frame_file)
+        iimg, _, iK, iR, iT = self._process(iimg, imsk, human, v, jseed)
+        ivz = self._vizmap(human, cam_id, frame_str)
+        idep = (
+            self._depthmap(human, cam_id, frame_str)
+            if self.cfg.depth_map
+            else None
+        )
+        out = (iimg, iK, iR, iT, ivz, idep)
+        if jseed is None:
+            for a in out:
+                if a is not None:
+                    a.setflags(write=False)
+            self._iv_cache[key] = out
+            total = sum(
+                sum(a.nbytes for a in t if a is not None)
+                for t in self._iv_cache.values()
+            )
+            while total > self._iv_cache_bytes and len(self._iv_cache) > 1:
+                _, t = self._iv_cache.popitem(last=False)  # oldest first
+                total -= sum(a.nbytes for a in t if a is not None)
+        return out
+
     # -- item assembly -------------------------------------------------
     def _pick_input_views(self, human, rng):
         num_cams = len(self.cams[human]["K"])
@@ -328,25 +400,8 @@ class ZJUDataset:
         cam_ind = self.cam_inds[index]
         zfill = len(frame_file[:-4])
 
-        # JPG frames load via cv2 (libjpeg-turbo, releases the GIL for the
-        # loader's worker threads; ~2x imageio/PIL).  The reference reads
-        # with imageio (can_smpl.py:339) — RGB order preserved here; jpeg
-        # decoder differences are at most +-1 u8 LSB.  Palette-PNG masks
-        # stay on imageio (_load_mask): cv2 would apply the palette in BGR
-        # and flip the channel the != 0 test reads.
-        import cv2
-
-        def imread_rgb(p):
-            # cv2.imread returns None (no exception) for missing/corrupt
-            # files; raise with the path — inside a Loader worker a bare
-            # cv2.error surfaces far from the offending frame
-            img = cv2.imread(p)
-            if img is None:
-                raise FileNotFoundError(f"unreadable image: {p}")
-            return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-
         # ---- target view (mask lives under the image's own camera dir)
-        tgt_img = imread_rgb(path)
+        tgt_img = _imread_rgb(path)
         tgt_cam_dir = os.path.basename(os.path.dirname(path))
         tgt_msk_raw = self._mark_border(
             self._load_mask(human, tgt_cam_dir, frame_file)
@@ -361,24 +416,19 @@ class ZJUDataset:
         # ---- input views (time_steps == 1: the painting frame IS the target
         # frame; multi-time support would loop here, if_clight_renderer.py:412)
         views = self._pick_input_views(human, rng)
+        frame_str = str(frame_index).zfill(zfill)
         imgs, viz, Ks, Rs, Ts, depths = [], [], [], [], [], []
         for v in views:
-            cam_id = (CAM_IDX_313[v] + 1) if human in SPECIAL_HUMANS else (v + 1)
-            ipath = os.path.join(
-                self.data_root, human, self._cam_dir(human, cam_id), frame_file
+            iimg, iK, iR, iT, ivz, idep = self._input_view(
+                human, v, frame_file, frame_str, jseed
             )
-            iimg = imread_rgb(ipath)
-            imsk = self._load_mask(human, self._cam_dir(human, cam_id), frame_file)
-            iimg, imsk, iK, iR, iT = self._process(iimg, imsk, human, v, jseed)
             imgs.append(iimg)
             Ks.append(iK)
             Rs.append(iR)
             Ts.append(iT)
-            viz.append(self._vizmap(human, cam_id, str(frame_index).zfill(zfill)))
-            if self.cfg.depth_map:
-                depths.append(
-                    self._depthmap(human, cam_id, str(frame_index).zfill(zfill))
-                )
+            viz.append(ivz)
+            if idep is not None:
+                depths.append(idep)
 
         # ---- SMPL for the target frame
         verts_world = self._vertices(human, frame_index)
