@@ -111,6 +111,105 @@ def test_tp_step_matches_dp_and_shards_params():
     assert int(tp_state.step) == 1
 
 
+def test_tp_checkpoint_roundtrip_resume(tmp_path):
+    """Sharded-state checkpointing end to end (VERDICT r3 #5): train 2 steps
+    under ('data','model'), save through the ASYNC checkpointer, restart
+    into a FRESH mesh exactly the way cli/train.py resumes (init_state +
+    replace + shard_train_state), and require (a) bitwise state equality
+    after the round trip, (b) a bitwise-identical third step vs the
+    uninterrupted sharded run, (c) tolerance-level agreement of the final
+    params with an unsharded single-device run of the same 3 steps."""
+    from transhuman_tpu.parallel import shard_batch
+    from transhuman_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint
+
+    model_dp, pipe_dp, frame, _, cluster = _setup(("batch", "data"))
+    params = init_params(
+        model_dp, frame, cluster.num_clusters, jax.random.PRNGKey(0)
+    )
+    batch = _batch(frame)
+    tx, _ = make_optimizer(iters_per_epoch=2)
+    rngs = [jax.random.fold_in(jax.random.PRNGKey(7), i) for i in range(3)]
+
+    # unsharded oracle: the shard_map DP step on one device, 3 steps
+    dp_step = make_train_step(pipe_dp, tx, mesh=None, donate=False)
+    dp_state = init_state(params, tx)
+    for r in rngs:
+        dp_state, _ = dp_step(dp_state, batch, r)
+
+    _, pipe_tp, _, _, _ = _setup(("batch",))
+    mesh = make_tp_mesh(2, 2)
+    tp_step = make_tp_train_step(pipe_tp, tx, mesh, donate=False)
+    tp_batch = shard_batch(mesh, batch)
+
+    # uninterrupted sharded run: 3 steps
+    full = shard_train_state(mesh, init_state(params, tx))
+    for r in rngs:
+        full, _ = tp_step(full, tp_batch, r)
+
+    # interrupted run: 2 steps -> async save -> resume into a fresh mesh
+    state = shard_train_state(mesh, init_state(params, tx))
+    for r in rngs[:2]:
+        state, _ = tp_step(state, tp_batch, r)
+    ckpt_dir = str(tmp_path / "model")
+    cp = AsyncCheckpointer()
+    cp.save(
+        ckpt_dir,
+        {"params": state.params, "opt_state": state.opt_state,
+         "step": state.step},
+        epoch=0,
+    )
+    cp.wait()
+
+    mesh2 = make_tp_mesh(2, 2)  # fresh mesh object, same topology
+    ckpt = load_checkpoint(ckpt_dir)
+    resumed = init_state(ckpt["params"], tx)
+    resumed = resumed.replace(
+        step=jnp.asarray(ckpt["step"]),
+        opt_state=jax.tree.map(jnp.asarray, ckpt["opt_state"]),
+    )
+    resumed = shard_train_state(mesh2, resumed)
+
+    # (a) bitwise equality of every leaf after the round trip, sharding kept
+    def assert_bitwise(a, b):
+        fa = jax.tree_util.tree_leaves_with_path(a)
+        fb = dict(
+            (jax.tree_util.keystr(p), x)
+            for p, x in jax.tree_util.tree_leaves_with_path(b)
+        )
+        assert len(fa) == len(fb)
+        for p, x in fa:
+            y = fb[jax.tree_util.keystr(p)]
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y), err_msg=jax.tree_util.keystr(p)
+            )
+
+    assert_bitwise(state.params, resumed.params)
+    assert_bitwise(state.opt_state, resumed.opt_state)
+    assert int(resumed.step) == 2
+    qkv = resumed.params["params"]["transhe"]["block_0"]["attn"]["qkv"]
+    assert qkv["kernel"].sharding.spec == P(None, "model")
+
+    # (b) the continued step is bitwise identical to the uninterrupted run
+    resumed, _ = tp_step(resumed, shard_batch(mesh2, batch), rngs[2])
+    assert_bitwise(full.params, resumed.params)
+    assert_bitwise(full.opt_state, resumed.opt_state)
+
+    # (c) and agrees with the unsharded oracle to numeric tolerance
+    flat_dp = jax.tree_util.tree_leaves_with_path(dp_state.params)
+    flat_tp = dict(
+        (jax.tree_util.keystr(p), x)
+        for p, x in jax.tree_util.tree_leaves_with_path(resumed.params)
+    )
+    for p, x in flat_dp:
+        np.testing.assert_allclose(
+            np.asarray(flat_tp[jax.tree_util.keystr(p)]),
+            np.asarray(x),
+            rtol=5e-4,
+            atol=5e-6,
+            err_msg=jax.tree_util.keystr(p),
+        )
+
+
 def test_tp_specs_fall_back_when_not_divisible():
     model, pipe, frame, _, cluster = _setup(("batch",))
     params = init_params(
