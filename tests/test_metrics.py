@@ -89,6 +89,27 @@ def test_evaluator_degenerate_mask_raises(tmp_path):
     assert ev.mse == [] and ev.ssim == []
 
 
+def test_evaluator_lpips_small_crop_raises(tmp_path, rng):
+    """Crops under 16px/side have a zero VGG stage-5 extent -> the masked
+    LPIPS would 0/0-NaN (and torch's would crash); the evaluator must raise
+    with the frame identity before calling it."""
+    import pytest
+
+    from transhuman_tpu.evals import Evaluator
+
+    ev = Evaluator(
+        str(tmp_path), save_images=False,
+        lpips_fn=lambda x, y, hw: np.zeros(1),
+    )
+    hw = (16, 16)
+    blob = np.zeros((16, 16), bool)
+    blob[2:12, 2:14] = True  # 12x10 bbox: fine for SSIM, too small for LPIPS
+    n = int(blob.sum())
+    pred = rng.random((n, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="LPIPS needs a crop >= 16px"):
+        ev.evaluate_frame(pred, pred, blob.reshape(-1), hw, frame_index=4)
+
+
 def test_psnr():
     a = np.zeros((10, 3))
     b = np.full((10, 3), 0.1)
