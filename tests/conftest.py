@@ -23,6 +23,15 @@ jax.config.update("jax_platforms", "cpu")
 # verify exact math, so force true f32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache for the suite: the big CLI/train-step tests
+# spend most of their wall time in XLA compiles of identical programs run
+# after run; caching them cuts repeat suite runs several-fold (first run
+# unchanged).  Override/disable with TRANSHUMAN_TEST_CACHE=path|''.
+_cache = os.environ.get("TRANSHUMAN_TEST_CACHE", "/tmp/jax_cache_tests")
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 @pytest.fixture
 def rng():

@@ -135,11 +135,14 @@ def test_evaluator_summary_loud_when_lpips_missing(tmp_path, rng):
     from transhuman_tpu.evals import Evaluator
 
     ev = Evaluator(str(tmp_path), lpips_fn=None, save_images=False)
-    mask = np.zeros(16 * 16, bool)
-    mask[:32] = True
+    # an 8x8 blob: clears the degenerate-crop guard (>= 7x7 bbox)
+    mask2d = np.zeros((16, 16), bool)
+    mask2d[4:12, 4:12] = True
+    mask = mask2d.reshape(-1)
+    n = int(mask.sum())
     ev.evaluate_frame(
-        rng.random((32, 3)).astype(np.float32),
-        rng.random((32, 3)).astype(np.float32),
+        rng.random((n, 3)).astype(np.float32),
+        rng.random((n, 3)).astype(np.float32),
         mask,
         (16, 16),
     )
