@@ -27,7 +27,16 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # spend most of their wall time in XLA compiles of identical programs run
 # after run; caching them cuts repeat suite runs several-fold (first run
 # unchanged).  Override/disable with TRANSHUMAN_TEST_CACHE=path|''.
-_cache = os.environ.get("TRANSHUMAN_TEST_CACHE", "/tmp/jax_cache_tests")
+# USER-OWNED dir, never a predictable /tmp path: deserializing compiled
+# executables another local user planted is code execution (the same class
+# as the k-means cache fix, cli/common.py::_cache_dir).
+_cache = os.environ.get(
+    "TRANSHUMAN_TEST_CACHE",
+    os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "transhuman_tpu", "test_jax_cache",
+    ),
+)
 if _cache:
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

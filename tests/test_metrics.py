@@ -108,6 +108,9 @@ def test_evaluator_lpips_small_crop_raises(tmp_path, rng):
     pred = rng.random((n, 3)).astype(np.float32)
     with pytest.raises(ValueError, match="LPIPS needs a crop >= 16px"):
         ev.evaluate_frame(pred, pred, blob.reshape(-1), hw, frame_index=4)
+    # the guard fires BEFORE any accumulation: a caller that catches and
+    # skips the frame must not be left with desynced metric lists
+    assert ev.mse == [] and ev.psnr == [] and ev.ssim == [] and ev.lpips == []
 
 
 def test_psnr():

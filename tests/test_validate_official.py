@@ -19,7 +19,6 @@ import pytest
 import torch
 
 from tests.test_zju_data import fake_zju  # noqa: F401  (fixture reuse)
-from transhuman_tpu.config import Config
 from transhuman_tpu.data.zju import ZJUDataset
 from transhuman_tpu.geometry.clusters import ClusterSpec
 from transhuman_tpu.models.lpips import VGG16_STAGES
@@ -92,6 +91,21 @@ def _write_lins_pth(path):
     }
     torch.save(sd, path)
     return path
+
+
+def test_compare_fails_on_unmatched_expected_protocol():
+    """An --expected key that matched no run must FAIL loudly, not report
+    PASS with zero comparisons (e.g. a typo'd protocol name)."""
+    from transhuman_tpu.tools.validate_official import DEFAULT_TOL, compare
+
+    rows, ok = compare(
+        {"fitting": {"psnr": 30.0, "ssim": 0.95, "lpips": None, "mse": 1e-3}},
+        {"identity_generalisation": {"psnr": 24.8}},  # note the typo
+        DEFAULT_TOL,
+    )
+    assert not ok
+    bad = [r for r in rows if r.get("verdict") == "FAIL"]
+    assert bad and "was not run" in bad[0]["error"]
 
 
 @pytest.fixture(scope="module")

@@ -112,10 +112,12 @@ class ZJUDataset:
         # re-undistorted, re-resized and re-read vizmaps len(target_view)
         # times (~the whole 216 ms/sample host cost).  Byte-bounded like the
         # ray-grid LRU (geometry/rays.py:137-167).
+        import threading
         from collections import OrderedDict
 
         self._iv_cache: "OrderedDict" = OrderedDict()
         self._iv_cache_bytes = 128 * 1024 * 1024
+        self._iv_lock = threading.Lock()
 
         if human_info is None:
             human_info = catalog.get_human_info(split, cfg.test.mode)
@@ -343,13 +345,17 @@ class ZJUDataset:
         camera, FrameSampler semantics samplers.py:136-164) then pay the
         decode/undistort/resize/vizmap cost once instead of once per target.
         Cached arrays are read-only shared views; `np.stack` in _build_frame
-        copies them into each item."""
+        copies them into each item.  All cache access is under a lock: the
+        Loader drives this from concurrent worker threads, and an unlocked
+        insert-scan racing a popitem is an intermittent
+        'mutated during iteration' crash."""
         key = (human, v, frame_file)
         if jseed is None:
-            hit = self._iv_cache.get(key)
-            if hit is not None:
-                self._iv_cache.move_to_end(key)
-                return hit
+            with self._iv_lock:
+                hit = self._iv_cache.get(key)
+                if hit is not None:
+                    self._iv_cache.move_to_end(key)
+                    return hit
         cam_id = (CAM_IDX_313[v] + 1) if human in SPECIAL_HUMANS else (v + 1)
         ipath = os.path.join(
             self.data_root, human, self._cam_dir(human, cam_id), frame_file
@@ -368,14 +374,15 @@ class ZJUDataset:
             for a in out:
                 if a is not None:
                     a.setflags(write=False)
-            self._iv_cache[key] = out
-            total = sum(
-                sum(a.nbytes for a in t if a is not None)
-                for t in self._iv_cache.values()
-            )
-            while total > self._iv_cache_bytes and len(self._iv_cache) > 1:
-                _, t = self._iv_cache.popitem(last=False)  # oldest first
-                total -= sum(a.nbytes for a in t if a is not None)
+            with self._iv_lock:
+                self._iv_cache[key] = out
+                total = sum(
+                    sum(a.nbytes for a in t if a is not None)
+                    for t in self._iv_cache.values()
+                )
+                while total > self._iv_cache_bytes and len(self._iv_cache) > 1:
+                    _, t = self._iv_cache.popitem(last=False)  # oldest first
+                    total -= sum(a.nbytes for a in t if a is not None)
         return out
 
     # -- item assembly -------------------------------------------------

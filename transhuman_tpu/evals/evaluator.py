@@ -78,6 +78,18 @@ class Evaluator:
                 f"pixels, bbox {w}x{h} (needs >= 7x7 for SSIM). The mask is "
                 "empty or nearly so; check the dataset masks/bounds."
             )
+        if self.lpips_fn is not None and min(h, w) < 16:
+            # VGG16-LPIPS has 4 stride-2 pools: a crop side < 16 px has a
+            # ZERO valid extent at stage 5 (masked path -> 0/0 NaN; torch's
+            # unpadded run crashes on the zero-height conv input there, so
+            # the reference could not evaluate this frame either).  Checked
+            # HERE, before any metric is appended: a guard that fired after
+            # the mse/psnr/ssim appends would leave the per-metric lists
+            # desynced for callers that catch and continue.
+            raise ValueError(
+                f"LPIPS needs a crop >= 16px per side; got {w}x{h} for "
+                f"human={human} frame={frame_index} cam={cam_ind}"
+            )
 
         self.mse.append(metrics.mse(rgb_pred, rgb_gt))
         self.psnr.append(metrics.psnr(rgb_pred, rgb_gt))
@@ -96,17 +108,6 @@ class Evaluator:
         # float default the reference's published numbers use)
         self.ssim_dr1.append(metrics.ssim(crop_pred, crop_gt, data_range=1.0))
         if self.lpips_fn is not None:
-            if min(crop_pred.shape[:2]) < 16:
-                # VGG16-LPIPS has 4 stride-2 pools: a crop side < 16 px has
-                # a ZERO valid extent at stage 5 (masked path -> 0/0 NaN;
-                # torch's unpadded run crashes on the zero-height conv input
-                # there, so the reference could not evaluate this frame
-                # either) — fail with the frame identity instead
-                raise ValueError(
-                    f"LPIPS needs a crop >= 16px per side; got "
-                    f"{crop_pred.shape[1]}x{crop_pred.shape[0]} for "
-                    f"human={human} frame={frame_index} cam={cam_ind}"
-                )
             a = crop_pred[None] * 2.0 - 1.0
             b = crop_gt[None] * 2.0 - 1.0
             if self.lpips_bucket:

@@ -130,8 +130,12 @@ def get_near_far(bounds: np.ndarray, ray_o: np.ndarray, ray_d: np.ndarray):
     return near.astype(np.float32), far.astype(np.float32), mask_at_box
 
 
-_RAY_CACHE: "OrderedDict" = None  # built lazily below
+from collections import OrderedDict as _OrderedDict
+from threading import Lock as _Lock
+
+_RAY_CACHE: "_OrderedDict" = _OrderedDict()
 _RAY_CACHE_BYTES = 256 * 1024 * 1024  # LRU budget (one 512x512 grid = 6 MB)
+_RAY_CACHE_LOCK = _Lock()
 
 
 def get_rays_cached(H, W, K, R, T):
@@ -142,28 +146,28 @@ def get_rays_cached(H, W, K, R, T):
     byte-bounded LRU (a count bound would hold gigabytes at 1024x1024, and
     clearing everything would also evict the cameras currently iterating).
     Returned arrays are shared read-only views — callers must not mutate
-    them (get_near_far already copies before its in-place clamp)."""
-    global _RAY_CACHE
-    if _RAY_CACHE is None:
-        from collections import OrderedDict
-
-        _RAY_CACHE = OrderedDict()
+    them (get_near_far already copies before its in-place clamp).  Access is
+    locked: Loader worker threads call this concurrently, and an unlocked
+    eviction scan racing an insert crashes intermittently."""
     K = np.asarray(K)
     key = (
         H, W, K.tobytes(), np.asarray(R).tobytes(), np.asarray(T).tobytes()
     )
-    hit = _RAY_CACHE.get(key)
-    if hit is None:
-        ro, rd = get_rays(H, W, K, R, T)
-        ro.setflags(write=False)
-        rd.setflags(write=False)
-        _RAY_CACHE[key] = hit = (ro, rd)
+    with _RAY_CACHE_LOCK:
+        hit = _RAY_CACHE.get(key)
+        if hit is not None:
+            _RAY_CACHE.move_to_end(key)
+            return hit
+    ro, rd = get_rays(H, W, K, R, T)  # outside the lock: the expensive part
+    ro.setflags(write=False)
+    rd.setflags(write=False)
+    hit = (ro, rd)
+    with _RAY_CACHE_LOCK:
+        _RAY_CACHE[key] = hit
         total = sum(a.nbytes + b.nbytes for a, b in _RAY_CACHE.values())
         while total > _RAY_CACHE_BYTES and len(_RAY_CACHE) > 1:
             _, (a, b) = _RAY_CACHE.popitem(last=False)  # oldest first
             total -= a.nbytes + b.nbytes
-    else:
-        _RAY_CACHE.move_to_end(key)
     return hit
 
 

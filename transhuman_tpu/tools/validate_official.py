@@ -64,6 +64,7 @@ def build_argv(args, label, mode, input_view, lpips_npz):
         "test.mode", mode,
         "test.full_eval", "False",
         "test.epoch", "-1",
+        "task", args.task,  # model_dir = trained_model_dir/<task>/<exp_name>
         "exp_name", "official",
         "test.exp_folder_name", f"zjumocap_{label}",
         "trained_model_dir", os.path.join(args.workdir, "model"),
@@ -125,6 +126,15 @@ def convert_assets(args):
 def compare(summaries, expected, tol):
     """Per-mode deltas vs the expected numbers; returns (report_rows, ok)."""
     rows, ok = [], True
+    # an expected protocol that matched NO run must FAIL, not silently pass
+    # (a typo'd key or a --protocols exclusion would otherwise report
+    # "PARITY: PASS" with zero comparisons made)
+    for label in expected or {}:
+        if label not in summaries:
+            rows.append({"protocol": label, "verdict": "FAIL",
+                         "error": "expected protocol was not run "
+                                  f"(ran: {sorted(summaries)})"})
+            ok = False
     for label, s in summaries.items():
         row = {"protocol": label, **{k: s.get(k) for k in
                                      ("psnr", "ssim", "lpips", "mse")}}
