@@ -210,6 +210,37 @@ def test_tp_checkpoint_roundtrip_resume(tmp_path):
         )
 
 
+def test_tp_grad_accum_matches_one_shot():
+    """accum_steps under the GSPMD step: the strided microbatch split keeps
+    each data shard's rows local, and with identical input images across the
+    batch the result must match accum_steps=1 up to fp reduction order
+    (train/step.py::accum_value_and_grad)."""
+    from transhuman_tpu.parallel import shard_batch
+
+    _, pipe_tp, frame, _, cluster = _setup(("batch",))
+    params = init_params(
+        pipe_tp.model, frame, cluster.num_clusters, jax.random.PRNGKey(0)
+    )
+    batch = _batch(frame)
+    tx, _ = make_optimizer(iters_per_epoch=2)
+    mesh = make_tp_mesh(2, 2)
+    rng = jax.random.PRNGKey(7)
+
+    outs = []
+    for accum in (1, 2):
+        step = make_tp_train_step(pipe_tp, tx, mesh, donate=False,
+                                  accum_steps=accum)
+        st, stats = step(
+            shard_train_state(mesh, init_state(params, tx)),
+            shard_batch(mesh, batch), rng,
+        )
+        outs.append((st, float(stats["loss"])))
+    (s1, l1), (s2, l2) = outs
+    assert abs(l1 - l2) < 1e-6
+    for x, y in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
 def test_tp_specs_fall_back_when_not_divisible():
     model, pipe, frame, _, cluster = _setup(("batch",))
     params = init_params(

@@ -223,6 +223,85 @@ def test_perturb_zero_is_rng_independent(tiny):
     assert float(c["loss"]) != float(d["loss"])
 
 
+def test_grad_accum_matches_one_shot(tiny):
+    """accum_steps splits the local batch into sequential microbatches with
+    averaged gradients.  With identical input images across the batch the
+    BatchNorm statistics are grouping-independent (pooling identical values
+    is the identity), and per-sample rngs fold by global index, so every
+    accum_steps must produce the same update up to fp reduction order."""
+    pipe, params = tiny
+    tx, _ = make_optimizer(iters_per_epoch=2)
+    base = make_sample(0)
+    batch = stack_samples([base] * 4)
+    # vary targets so per-sample grads differ (catches microbatch mixups)
+    rng_np = np.random.default_rng(11)
+    batch = batch.replace(
+        target_patches=rng_np.random((4, 1, PS, PS, 3)).astype(np.float32)
+    )
+    rng = jax.random.PRNGKey(5)
+
+    results = []
+    for accum in (1, 2, 4):
+        step = make_train_step(pipe, tx, donate=False, accum_steps=accum)
+        st, stats = step(init_state(params, tx), batch, rng)
+        results.append((st, float(stats["loss"])))
+    (s1, l1), (s2, l2), (s4, l4) = results
+    assert abs(l1 - l2) < 1e-6 and abs(l1 - l4) < 1e-6
+    for a, b in ((s1, s2), (s1, s4)):
+        for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=1e-5
+            )
+
+
+def test_grad_accum_rejects_indivisible_batch(tiny):
+    pipe, params = tiny
+    tx, _ = make_optimizer(iters_per_epoch=2)
+    step = make_train_step(pipe, tx, donate=False, accum_steps=3)
+    batch = stack_samples([make_sample(i) for i in range(4)])
+    with pytest.raises(ValueError, match="divisible"):
+        step(init_state(params, tx), batch, jax.random.PRNGKey(0))
+
+
+def test_remat_grads_match():
+    """cfg.remat rematerializes the point decode in the backward pass;
+    gradients are the same program modulo scheduling (jax.checkpoint)."""
+    smpl = SMPLModel.synthetic(n_verts=NV)
+    cluster = ClusterSpec.from_kmeans(smpl.v_template, NC, iters=3)
+    model = TransHumanNet(embed_dim=12, vit_depth=1, vit_heads=2, knn_k=3)
+    sample = make_sample(0)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(sample.frame.images),
+        jnp.zeros((NC, 3)),
+        jnp.zeros((4, 3)),
+        jnp.zeros((NC, 3)),
+        jnp.zeros((NC, 3, 3)),
+        jnp.zeros((4, 27)),
+    )
+    tgt = jnp.asarray(
+        np.random.default_rng(2).random((NR, 3)).astype(np.float32)
+    )
+
+    def grads(remat):
+        pipe = RenderPipeline(
+            model, cluster, smpl.v_template, n_samples=NS, chunk_rays=8,
+            remat=remat,
+        )
+
+        def loss(p):
+            out = pipe.render_train(
+                p, sample.frame, sample.rays, jax.random.PRNGKey(1)
+            )
+            return jnp.mean((out["rgb_map"] - tgt) ** 2)
+
+        return jax.jit(jax.grad(loss))(params)
+
+    g0, g1 = grads(False), grads(True)
+    for x, y in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
 def test_all_reference_optimizers_build_and_step():
     """The reference factory's four options (optimizer.py:4-9) all make a
     working transform."""

@@ -141,6 +141,7 @@ def main(argv=None, dataset=None, smpl=None):
         l2_weight=cfg.l2rec_weight, lpips_weight=cfg.lpips_weight,
         patch_mode=cfg.patch.use_patch_sampling,
         perturb=cfg.perturb > 0,
+        accum_steps=cfg.train.accum_steps,
     )
     if tp:
         from ..parallel.tp import make_tp_train_step

@@ -76,6 +76,9 @@ class TrainConfig:
     optim: str = "adam"
     weight_decay: float = 0.0
     shuffle: bool = True
+    accum_steps: int = 1  # gradient accumulation: split each device's local
+    # batch into this many sequential microbatches with averaged gradients
+    # (train/step.py::accum_value_and_grad; BN stats pool per microbatch)
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
 
 
@@ -191,6 +194,10 @@ class Config:
     mesh_axis_model: int = 1  # tensor-parallel mesh size for training: > 1
     # trains on a ('data','model') mesh with the ViT params + Adam moments
     # sharded over 'model' (parallel/tp.py; for vit_small/vit_base scale)
+    remat: bool = False  # rematerialize the point decode in the train
+    # backward (jax.checkpoint): peak activation memory stops scaling with
+    # rays-per-step at the cost of ~one extra decode forward; gradients are
+    # unchanged (render/pipeline.py)
 
     # --- ray sampling ---
     patch: PatchConfig = field(default_factory=PatchConfig)

@@ -43,7 +43,7 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..train.step import TrainState, make_sample_loss
+from ..train.step import TrainState, accum_value_and_grad, make_sample_loss
 
 # (path regex, spec) — matched against '/'-joined param paths
 _TP_RULES = (
@@ -136,6 +136,7 @@ def make_tp_train_step(
     donate: bool = True,
     patch_mode: bool = True,
     perturb: bool = True,
+    accum_steps: int = 1,
 ):
     """GSPMD train step over a ('data', 'model') mesh.
 
@@ -168,14 +169,14 @@ def make_tp_train_step(
         # (train/step.py local_step: axis_index('data')*local_b + arange)
         rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(b))
 
-        def loss_fn(params):
+        def loss_fn(params, mb_batch, mb_rngs):
             losses, stats = jax.vmap(
                 partial(sample_loss, params), axis_name="batch"
-            )(batch, rngs)
+            )(mb_batch, mb_rngs)
             return jnp.mean(losses), jax.tree.map(jnp.mean, stats)
 
-        (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
+        (_, stats), grads = accum_value_and_grad(
+            loss_fn, state.params, batch, rngs, accum_steps
         )
         # pin the gradient layout to the param layout so the partitioner
         # reduce-scatters over 'model' instead of replicating the update

@@ -132,6 +132,14 @@ class RenderPipeline:
         # (58.6k vs 73.4k rays/s measured); kept for future hardware
         compact_ratio: Optional[float] = None,
         cull_clusters: int = 1024,
+        remat: bool = False,  # rematerialize the point decode in backward:
+        # the (R*S, ·)-scale activations (pixel-feature gathers, DPaRF reps,
+        # head hiddens) dominate train memory; jax.checkpoint drops them and
+        # recomputes the decode in the backward pass, trading ~one extra
+        # decode forward for peak-activation memory that no longer scales
+        # with rays-per-step.  Exact: gradients are bit-identical programs
+        # modulo scheduling.  cfg.remat; inference paths are unaffected
+        # (no backward).
         view_freqs: Optional[int] = None,  # cfg.view_res (embedder.py:53);
         # defaults to the model's view_freqs so init and render agree; head
         # widths adapt via flax shape inference (official arch: 4 -> 27-d,
@@ -142,6 +150,7 @@ class RenderPipeline:
         self.view_freqs = (view_freqs if view_freqs is not None
                            else getattr(model, "view_freqs", 4))
         self.chunk_rays = chunk_rays
+        self.remat = remat
         self.use_pallas = use_pallas
         self.quantize_pixel_feat = quantize_pixel_feat
         # static-capacity compaction: decode only the SMPL-culled survivors.
@@ -394,7 +403,12 @@ class RenderPipeline:
             r * s, -1
         )
         pts_mask = jnp.broadcast_to(rays.mask[:, None], (r, s)).reshape(-1)
-        raw = self.query_points(
+        qp = self.query_points
+        if self.remat:
+            # save only the decode's inputs/outputs; every (R*S, ·)
+            # intermediate is recomputed in the backward pass
+            qp = jax.checkpoint(qp)
+        raw = qp(
             params, frame, pro, pts.reshape(r * s, 3), vde, pts_mask
         )
         out = composite(
@@ -723,5 +737,6 @@ def _make_clight(model, cluster, canonical_verts, cfg, chunk_rays=None,
         pe_table=pe_table,
         use_pallas=cfg.use_pallas_knn,
         compact_ratio=cfg.compact_ratio,
+        remat=cfg.remat,
         view_freqs=cfg.view_res,
     )

@@ -97,6 +97,69 @@ def make_sample_loss(
     return sample_loss
 
 
+def accum_value_and_grad(loss_fn, params, batch, rngs, accum_steps: int):
+    """value_and_grad of the batch-mean loss, evaluated in `accum_steps`
+    sequential microbatches with summed-then-averaged gradients (gradient
+    accumulation: peak activation memory scales with the microbatch).
+
+    `loss_fn(params, batch, rngs) -> (loss, stats)` must be a per-batch MEAN
+    (equal-size microbatches make the mean-of-means exact).  The caller
+    derives `rngs` over the FULL batch, so per-sample keys are identical for
+    every accum_steps — accumulation never changes which stochastic render a
+    sample gets.
+
+    Semantics note: this equals accum_steps-way data parallelism WITHOUT
+    cross-microbatch BatchNorm pooling — each microbatch normalizes by its
+    own batch statistics (the model's `axis_name='batch'` pmean sees only the
+    microbatch), so with accum_steps > 1 the result differs from the
+    one-shot batch exactly as unsynced-BN DDP differs from SyncBN.  Gradients
+    and stats are arithmetic means over microbatches either way.
+    """
+    vag = jax.value_and_grad(loss_fn, has_aux=True)
+    if accum_steps <= 1:
+        return vag(params, batch, rngs)
+    b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    if b % accum_steps != 0:
+        raise ValueError(
+            f"local batch {b} not divisible by accum_steps {accum_steps}"
+        )
+    mb = b // accum_steps
+
+    def split(x):
+        # STRIDED split: microbatch j = samples {j, j+accum, j+2*accum, ...}.
+        # Grouping is arbitrary for the shard_map DP step (the batch here is
+        # device-local), but under the GSPMD TP step the batch axis is
+        # sharded over 'data' in contiguous blocks — a strided split keeps
+        # every microbatch's rows on their owning devices (each shard
+        # contributes local_b/accum rows per microbatch) instead of parking
+        # whole shards idle the way a contiguous split would.
+        return jnp.swapaxes(
+            x.reshape((mb, accum_steps) + x.shape[1:]), 0, 1
+        )
+
+    batch_s = jax.tree.map(split, batch)
+    rngs_s = split(rngs)
+
+    # one lowered copy of the loss+grad program: zero-init the carry from
+    # abstract shapes instead of tracing the first microbatch separately
+    carry0 = jax.tree.map(
+        lambda sd: jnp.zeros(sd.shape, sd.dtype),
+        jax.eval_shape(
+            vag, params,
+            jax.tree.map(lambda x: x[0], batch_s),
+            rngs_s[0],
+        ),
+    )
+
+    def body(carry, xs):
+        mb_batch, mb_rngs = xs
+        out = vag(params, mb_batch, mb_rngs)
+        return jax.tree.map(jnp.add, carry, out), None
+
+    total, _ = jax.lax.scan(body, carry0, (batch_s, rngs_s))
+    return jax.tree.map(lambda x: x / accum_steps, total)
+
+
 def make_train_step(
     pipe,
     tx,
@@ -107,6 +170,7 @@ def make_train_step(
     donate: bool = True,
     patch_mode: bool = True,
     perturb: bool = True,
+    accum_steps: int = 1,
 ):
     """Build the jitted train step.
 
@@ -117,6 +181,9 @@ def make_train_step(
     (cfg.patch.use_patch_sampling=False; if_nerf_clight.py:77-81).
     `perturb=False` disables the stratified-sampling jitter, the reference's
     `cfg.perturb > 0 and self.net.training` gate (if_clight_renderer.py:276).
+    `accum_steps > 1` splits each device's local batch into that many
+    sequential microbatches with averaged gradients (one optimizer update
+    per call; see accum_value_and_grad for the BN-statistics caveat).
     """
 
     sample_loss = make_sample_loss(
@@ -130,13 +197,15 @@ def make_train_step(
         gidx = jax.lax.axis_index("data") * b + jnp.arange(b)
         rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(gidx)
 
-        def loss_fn(params):
+        def loss_fn(params, mb_batch, mb_rngs):
             losses, stats = jax.vmap(
                 partial(sample_loss, params), axis_name="batch"
-            )(batch, rngs)
+            )(mb_batch, mb_rngs)
             return jnp.mean(losses), jax.tree.map(jnp.mean, stats)
 
-        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, stats), grads = accum_value_and_grad(
+            loss_fn, state.params, batch, rngs, accum_steps
+        )
         grads = jax.lax.pmean(grads, "data")
         stats = jax.lax.pmean(stats, "data")
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
