@@ -30,6 +30,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# same persistent compile cache as conftest.py: without it each spawned
+# process re-pays the jitted-step XLA compile on every suite run
+_cache = os.environ.get(
+    "TRANSHUMAN_TEST_CACHE",
+    os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "transhuman_tpu", "test_jax_cache",
+    ),
+)
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def main():
     pid, n_proc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])

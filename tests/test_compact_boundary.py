@@ -16,6 +16,19 @@ from transhuman_tpu.render.pipeline import RenderPipeline, pad_rays
 from transhuman_tpu.testing import init_params, synthetic_rays, synthetic_setup
 
 
+_JIT: dict = {}
+
+
+def _render(pipe, params, frame, rays):
+    """Jit-per-pipe render: compiled programs persist in conftest's compile
+    cache across suite runs (eager execution pays tens of seconds of
+    per-primitive dispatch on this platform)."""
+    hit = _JIT.get(id(pipe))
+    if hit is None:
+        hit = _JIT[id(pipe)] = (pipe, jax.jit(pipe.render_frame))
+    return hit[1](params, frame, rays)
+
+
 def _build(seed=0, n_samples=4):
     model, pipe, frame, _, cluster = synthetic_setup(
         image_hw=(24, 24), n_verts=80, n_clusters=10, n_samples=n_samples,
@@ -46,12 +59,17 @@ def _n_active(pipe, params, frame, rays):
     n = rays.ray_o.shape[0] * pipe.n_samples
     cp = pipe.chunk_rays * pipe.n_samples
     starved = _twin(pipe, 1.0 / n)  # m = one chunk
-    out = starved.render_frame(params, frame, rays)
+    out = _render(starved, params, frame, rays)
     return int(np.asarray(out["overflow"])[0]) + cp
 
 
-def test_capacity_exactly_at_need_has_no_overflow():
-    pipe, params, frame, rays = _build()
+@pytest.fixture(scope="module")
+def built0():
+    return _build()
+
+
+def test_capacity_exactly_at_need_has_no_overflow(built0):
+    pipe, params, frame, rays = built0
     n = rays.ray_o.shape[0] * pipe.n_samples
     cp = pipe.chunk_rays * pipe.n_samples
     n_active = _n_active(pipe, params, frame, rays)
@@ -60,18 +78,18 @@ def test_capacity_exactly_at_need_has_no_overflow():
     m_exact = -(-n_active // cp) * cp
     # ratio placed so int(ratio*n) rounds up to exactly m_exact
     tight = _twin(pipe, (m_exact - 0.5) / n)
-    out = tight.render_frame(params, frame, rays)
+    out = _render(tight, params, frame, rays)
     assert int(np.asarray(out["overflow"])[0]) == 0
-    dense = _twin(pipe, None).render_frame(params, frame, rays)
+    dense = _render(_twin(pipe, None), params, frame, rays)
     for k in ("rgb_map", "acc_map", "depth_map"):
         np.testing.assert_allclose(
-            np.asarray(out[k]), np.asarray(dense[k]), atol=1e-5,
+            np.asarray(out[k]), np.asarray(dense[k]), atol=2e-5,
             err_msg=f"{k} at exact capacity",
         )
 
 
-def test_capacity_one_chunk_short_reports_exact_overflow():
-    pipe, params, frame, rays = _build()
+def test_capacity_one_chunk_short_reports_exact_overflow(built0):
+    pipe, params, frame, rays = built0
     n = rays.ray_o.shape[0] * pipe.n_samples
     cp = pipe.chunk_rays * pipe.n_samples
     n_active = _n_active(pipe, params, frame, rays)
@@ -80,7 +98,7 @@ def test_capacity_one_chunk_short_reports_exact_overflow():
         pytest.skip("need at least two chunks of survivors")
 
     short = _twin(pipe, (m_exact - cp - 0.5) / n)
-    out = short.render_frame(params, frame, rays)
+    out = _render(short, params, frame, rays)
     assert int(np.asarray(out["overflow"])[0]) == n_active - (m_exact - cp)
 
 
@@ -92,13 +110,13 @@ def test_fuzz_compact_matches_dense_or_reports_overflow(seed):
     rng = np.random.default_rng(seed)
     ratio = float(rng.uniform(0.05, 0.6))
     compact = _twin(pipe, ratio)
-    out = compact.render_frame(params, frame, rays)
+    out = _render(compact, params, frame, rays)
     over = int(np.asarray(out["overflow"])[0])
-    dense = _twin(pipe, None).render_frame(params, frame, rays)
+    dense = _render(_twin(pipe, None), params, frame, rays)
     if over == 0:
         for k in ("rgb_map", "acc_map", "depth_map"):
             np.testing.assert_allclose(
-                np.asarray(out[k]), np.asarray(dense[k]), atol=1e-5,
+                np.asarray(out[k]), np.asarray(dense[k]), atol=2e-5,
                 err_msg=f"{k} seed={seed} ratio={ratio:.3f}",
             )
     else:
@@ -115,9 +133,9 @@ def test_reference_depth_64_samples_fixed_point_exact():
     must stay below float tolerance vs the dense f32 composite."""
     pipe, params, frame, rays = _build(seed=5, n_samples=64)
     compact = _twin(pipe, 0.9)
-    out = compact.render_frame(params, frame, rays)
+    out = _render(compact, params, frame, rays)
     assert int(np.asarray(out["overflow"])[0]) == 0
-    dense = _twin(pipe, None).render_frame(params, frame, rays)
+    dense = _render(_twin(pipe, None), params, frame, rays)
     for k in ("rgb_map", "acc_map", "depth_map"):
         np.testing.assert_allclose(
             np.asarray(out[k]), np.asarray(dense[k]), atol=2e-5,

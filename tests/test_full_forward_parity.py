@@ -225,7 +225,9 @@ def test_full_forward_matches_torch_oracle(scene):
         near=jnp.asarray(s["near"]), far=jnp.asarray(s["far"]),
         mask=jnp.ones(NR, bool),
     )
-    out = pipe.render_train(variables, frame, rays, rng=None)
+    # jitted: the compile persists in conftest's cache across suite runs
+    # (and jit does not move the parity — same ops, highest matmul precision)
+    out = jax.jit(pipe.render_train)(variables, frame, rays, rng=None)
 
     np.testing.assert_allclose(
         np.asarray(out["rgb_map"]), rgb_t.numpy(), atol=2e-3

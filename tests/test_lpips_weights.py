@@ -89,17 +89,18 @@ def test_masked_lpips_equals_unpadded():
 
     params = init_lpips_params(jax.random.PRNGKey(0))
     rng = np.random.default_rng(3)
+    # jit (one wrapper, one trace+persistent compile per extent): the eager
+    # VGG16 forward pays seconds of per-primitive dispatch per call
+    jd = jax.jit(lambda x, y: lpips_distance(params, x, y))
+    jm = jax.jit(lambda x, y, hw: lpips_distance_masked(params, x, y, hw))
     for (h, w) in [(33, 47), (32, 32), (61, 35), (40, 64)]:
         x = rng.uniform(-1, 1, (2, h, w, 3)).astype(np.float32)
         y = rng.uniform(-1, 1, (2, h, w, 3)).astype(np.float32)
-        ref = np.asarray(lpips_distance(params, x, y))
+        ref = np.asarray(jd(x, y))
         ph, pw = -(-h // 32) * 32, -(-w // 32) * 32
         pad = ((0, 0), (0, ph - h), (0, pw - w), (0, 0))
         got = np.asarray(
-            lpips_distance_masked(
-                params, np.pad(x, pad), np.pad(y, pad),
-                jnp.array([h, w], jnp.int32),
-            )
+            jm(np.pad(x, pad), np.pad(y, pad), jnp.array([h, w], jnp.int32))
         )
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-7,
                                    err_msg=f"extent {(h, w)}")

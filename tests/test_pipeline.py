@@ -25,6 +25,21 @@ V, H, W = 3, 32, 32
 NV = 120  # tiny vertex count
 NC = 12  # tiny cluster count
 
+# jit wrapper shared per (pipe, method): eager execution of the full render
+# costs tens of seconds per call in per-primitive dispatch on this platform,
+# while the jitted program executes in ms and its XLA compile persists in
+# conftest's compilation cache across suite runs.  Keying on the pipe object
+# also lets tests that render the same pipe share one trace+compile.
+_JIT: dict = {}
+
+
+def J(pipe, method="render_frame"):
+    key = (id(pipe), method)
+    hit = _JIT.get(key)
+    if hit is None:
+        hit = _JIT[key] = (pipe, jax.jit(getattr(pipe, method)))
+    return hit[1]
+
 
 @pytest.fixture(scope="module")
 def setup():
@@ -86,7 +101,7 @@ def setup():
 
 def test_train_path_shapes_finite(setup):
     pipe, params, frame, rays = setup
-    out = pipe.render_train(params, frame, rays, rng=jax.random.PRNGKey(1))
+    out = J(pipe, "render_train")(params, frame, rays, rng=jax.random.PRNGKey(1))
     assert out["rgb_map"].shape == (8, 3)
     assert out["acc_map"].shape == (8,)
     for v in out.values():
@@ -100,7 +115,7 @@ def test_train_path_differentiable(setup):
         out = pipe.render_train(p, frame, rays)
         return jnp.mean(out["rgb_map"] ** 2)
 
-    g = jax.grad(loss)(params)
+    g = jax.jit(jax.grad(loss))(params)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
@@ -110,11 +125,11 @@ def test_inference_matches_train_path_without_cull(setup):
     """With the cull distance set huge, the chunked inference path must equal
     the one-shot (deterministic) train path on identical rays."""
     pipe, params, frame, rays = setup
-    out_train = pipe.render_train(params, frame, rays, rng=None)
+    out_train = J(pipe, "render_train")(params, frame, rays, rng=None)
     big = RenderPipeline.__new__(RenderPipeline)
     big.__dict__.update(pipe.__dict__)
     big.cull_distance = 1e9
-    out_inf = big.render_frame(params, frame, rays)
+    out_inf = J(big)(params, frame, rays)
     np.testing.assert_allclose(
         np.asarray(out_inf["rgb_map"]),
         np.asarray(out_train["rgb_map"]),
@@ -133,7 +148,7 @@ def test_padding_rays_render_zero(setup):
         RayBundle(*[np.asarray(x) for x in (rays.ray_o, rays.ray_d, rays.near, rays.far, rays.mask)]),
         12,
     )
-    out = pipe.render_frame(params, frame, jax.tree.map(jnp.asarray, padded))
+    out = J(pipe)(params, frame, jax.tree.map(jnp.asarray, padded))
     assert out["rgb_map"].shape[0] == 12
     np.testing.assert_array_equal(np.asarray(out["rgb_map"][8:]), 0.0)
     np.testing.assert_array_equal(np.asarray(out["acc_map"][8:]), 0.0)
@@ -151,18 +166,18 @@ def test_culling_zeroes_far_rays(setup):
         far=jnp.full((n,), 3.0, jnp.float32),
         mask=jnp.ones((n,), bool),
     )
-    out = pipe.render_frame(params, frame, rays)
+    out = J(pipe)(params, frame, rays)
     np.testing.assert_array_equal(np.asarray(out["rgb_map"]), 0.0)
 
 
 def test_quantized_pixel_features_close_to_fp(setup):
     """int8 pixel-map mode matches the fp path within quantization noise."""
     pipe, params, frame, rays = setup
-    base = pipe.render_frame(params, frame, rays)
+    base = J(pipe)(params, frame, rays)
     q = RenderPipeline.__new__(RenderPipeline)
     q.__dict__.update(pipe.__dict__)
     q.quantize_pixel_feat = True
-    quant = q.render_frame(params, frame, rays)
+    quant = J(q)(params, frame, rays)
     a, b = np.asarray(base["rgb_map"]), np.asarray(quant["rgb_map"])
     assert np.abs(a - b).max() < 0.05
     assert np.abs(a - b).mean() < 0.01
@@ -173,12 +188,12 @@ def test_compaction_matches_plain_render_frame(setup):
     chunked path (masked points produce raw=0 in both) and reports overflow
     honestly when the capacity is too small."""
     pipe, params, frame, rays = setup
-    base = pipe.render_frame(params, frame, rays)
+    base = J(pipe)(params, frame, rays)
     assert float(np.abs(np.asarray(base["acc_map"])).sum()) > 0.1  # non-trivial scene
     c = RenderPipeline.__new__(RenderPipeline)
     c.__dict__.update(pipe.__dict__)
     c.compact_ratio = 0.9
-    out = c.render_frame(params, frame, rays)
+    out = J(c)(params, frame, rays)
     assert int(out["overflow"][0]) == 0
     for k in ("rgb_map", "acc_map", "depth_map"):
         np.testing.assert_allclose(
@@ -190,7 +205,7 @@ def test_compaction_matches_plain_render_frame(setup):
     tiny.__dict__.update(pipe.__dict__)
     tiny.compact_ratio = 0.01
     tiny.cull_distance = 1e9  # everything active
-    over = tiny.render_frame(params, frame, rays)
+    over = J(tiny)(params, frame, rays)
     assert int(over["overflow"][0]) > 0
 
 
@@ -204,12 +219,12 @@ def test_sigma_compaction_matches_plain(setup):
         rng.uniform(-1.2, 1.2, (n, 3)).astype(np.float32)
     )
     mask = jnp.asarray(rng.random(n) < 0.9)
-    base, over0 = pipe.render_sigma(params, frame, pts, mask)
+    base, over0 = J(pipe, "render_sigma")(params, frame, pts, mask)
     assert int(over0[0]) == 0
     c = RenderPipeline.__new__(RenderPipeline)
     c.__dict__.update(pipe.__dict__)
     c.compact_ratio = 0.9
-    got, over = c.render_sigma(params, frame, pts, mask)
+    got, over = J(c, "render_sigma")(params, frame, pts, mask)
     assert int(over[0]) == 0
     np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=2e-5)
 
@@ -226,7 +241,7 @@ def test_compact_all_rays_masked(setup):
         ray_o=rays.ray_o, ray_d=rays.ray_d, near=rays.near, far=rays.far,
         mask=jnp.zeros_like(rays.mask),
     )
-    out = c.render_frame(params, frame, dead)
+    out = J(c)(params, frame, dead)
     np.testing.assert_array_equal(np.asarray(out["rgb_map"]), 0.0)
     np.testing.assert_array_equal(np.asarray(out["acc_map"]), 0.0)
     assert int(out["overflow"][0]) == 0
@@ -249,11 +264,11 @@ def test_compact_respects_aug_fields(setup):
         aug_rot=jnp.asarray(rot3),
         aug_trans=jnp.asarray(trans),
     )
-    base = pipe.render_frame(params, f2, rays)
+    base = J(pipe)(params, f2, rays)
     c = RenderPipeline.__new__(RenderPipeline)
     c.__dict__.update(pipe.__dict__)
     c.compact_ratio = 0.9
-    out = c.render_frame(params, f2, rays)
+    out = J(c)(params, f2, rays)
     assert int(out["overflow"][0]) == 0
     for k in ("rgb_map", "acc_map", "depth_map"):
         np.testing.assert_allclose(
@@ -273,7 +288,7 @@ def test_one_shot_single_input_view(setup):
         R=frame.R[:1],
         T=frame.T[:1],
     )
-    out = pipe.render_frame(params, f1, rays)
+    out = J(pipe)(params, f1, rays)
     assert out["rgb_map"].shape == (rays.ray_o.shape[0], 3)
     for v in out.values():
         assert np.isfinite(np.asarray(v)).all()
@@ -283,7 +298,7 @@ def test_one_shot_single_input_view(setup):
     def loss(p):
         return jnp.mean(pipe.render_train(p, f1, rays)["rgb_map"] ** 2)
 
-    g = jax.grad(loss)(params)
+    g = jax.jit(jax.grad(loss))(params)
     assert all(
         np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g)
     )

@@ -69,7 +69,7 @@ def test_view_res_changes_embedding_width():
     vfc = params["params"]["heads"]["view_fc"]["kernel"]
     assert vfc.shape[0] == 256 + 6 * 2 + 3
     rays = pad_rays(synthetic_rays(8), pipe.chunk_rays)
-    out = pipe.render_frame(params, frame, rays)
+    out = jax.jit(pipe.render_frame)(params, frame, rays)
     assert np.isfinite(np.asarray(out["rgb_map"])).all()
 
 

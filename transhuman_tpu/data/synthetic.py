@@ -55,7 +55,17 @@ class SyntheticDataset:
         self.epoch = epoch
 
     def frame_sampler_indices(self, full_eval=None):
-        return np.arange(self.n_frames)
+        """FrameSampler decimation contract (reference samplers.py:150-155),
+        same semantics as ZJUDataset.frame_sampler_indices: every
+        cfg.test.frame_interval-th frame unless full_eval (or a
+        non-FrameSampler cfg.test.sampler) keeps all.  The synthetic frames
+        are identical anyway; honoring the contract keeps CLI eval runs at
+        the reference's decimated cost."""
+        fe = self.cfg.test.full_eval if full_eval is None else full_eval
+        if self.cfg.test.sampler != "FrameSampler":
+            fe = True
+        step = 1 if fe else max(1, self.cfg.test.frame_interval)
+        return np.arange(0, self.n_frames, step)
 
     # ------------------------------------------------------------------
     def _frame_and_target(self, index):
