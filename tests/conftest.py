@@ -23,23 +23,15 @@ jax.config.update("jax_platforms", "cpu")
 # verify exact math, so force true f32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# Persistent compilation cache for the suite: the big CLI/train-step tests
-# spend most of their wall time in XLA compiles of identical programs run
-# after run; caching them cuts repeat suite runs several-fold (first run
-# unchanged).  Override/disable with TRANSHUMAN_TEST_CACHE=path|''.
-# USER-OWNED dir, never a predictable /tmp path: deserializing compiled
-# executables another local user planted is code execution (the same class
-# as the k-means cache fix, cli/common.py::_cache_dir).
-_cache = os.environ.get(
-    "TRANSHUMAN_TEST_CACHE",
-    os.path.join(
-        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
-        "transhuman_tpu", "test_jax_cache",
-    ),
-)
-if _cache:
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Persistent compilation cache for the suite (single source of truth shared
+# with the spawned multihost workers — see tests/_jax_cache.py docstring for
+# the rationale and the TRANSHUMAN_TEST_CACHE override).
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _jax_cache  # noqa: E402
+
+_jax_cache.configure(jax)
 
 
 @pytest.fixture

@@ -24,18 +24,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# same persistent compile cache as conftest.py: without it each spawned
-# process re-pays its XLA compiles on every suite run
-_cache = os.environ.get(
-    "TRANSHUMAN_TEST_CACHE",
-    os.path.join(
-        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
-        "transhuman_tpu", "test_jax_cache",
-    ),
-)
-if _cache:
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# same persistent compile cache as conftest.py (shared bootstrap module):
+# without it each spawned process re-pays its XLA compiles every suite run
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _jax_cache  # noqa: E402
+
+_jax_cache.configure(jax)
 
 
 def main():

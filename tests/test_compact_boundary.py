@@ -13,20 +13,19 @@ import numpy as np
 import pytest
 
 from transhuman_tpu.render.pipeline import RenderPipeline, pad_rays
-from transhuman_tpu.testing import init_params, synthetic_rays, synthetic_setup
-
-
-_JIT: dict = {}
+from transhuman_tpu.testing import (
+    init_params,
+    jit_method,
+    synthetic_rays,
+    synthetic_setup,
+)
 
 
 def _render(pipe, params, frame, rays):
     """Jit-per-pipe render: compiled programs persist in conftest's compile
     cache across suite runs (eager execution pays tens of seconds of
     per-primitive dispatch on this platform)."""
-    hit = _JIT.get(id(pipe))
-    if hit is None:
-        hit = _JIT[id(pipe)] = (pipe, jax.jit(pipe.render_frame))
-    return hit[1](params, frame, rays)
+    return jit_method(pipe, "render_frame")(params, frame, rays)
 
 
 def _build(seed=0, n_samples=4):
@@ -46,11 +45,21 @@ def _build(seed=0, n_samples=4):
     return pipe, params, frame, rays
 
 
+_TWINS: dict = {}
+
+
 def _twin(pipe, ratio):
-    c = RenderPipeline.__new__(RenderPipeline)
-    c.__dict__.update(pipe.__dict__)
-    c.compact_ratio = ratio
-    return c
+    # memoized per (pipe, ratio) so repeated calls reuse one object — and
+    # therefore one jit_method trace (a fresh twin per call would re-trace
+    # an identical program every time)
+    key = (id(pipe), ratio)
+    hit = _TWINS.get(key)
+    if hit is None:
+        c = RenderPipeline.__new__(RenderPipeline)
+        c.__dict__.update(pipe.__dict__)
+        c.compact_ratio = ratio
+        hit = _TWINS[key] = (pipe, c)
+    return hit[1]
 
 
 def _n_active(pipe, params, frame, rays):

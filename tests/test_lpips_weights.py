@@ -90,17 +90,20 @@ def test_masked_lpips_equals_unpadded():
     params = init_lpips_params(jax.random.PRNGKey(0))
     rng = np.random.default_rng(3)
     # jit (one wrapper, one trace+persistent compile per extent): the eager
-    # VGG16 forward pays seconds of per-primitive dispatch per call
-    jd = jax.jit(lambda x, y: lpips_distance(params, x, y))
-    jm = jax.jit(lambda x, y, hw: lpips_distance_masked(params, x, y, hw))
+    # VGG16 forward pays seconds of per-primitive dispatch per call.
+    # params stay a jit ARGUMENT — closing them over would bake ~59 MB of
+    # VGG16 weights into every cached executable as HLO constants
+    jd = jax.jit(lpips_distance)
+    jm = jax.jit(lpips_distance_masked)
     for (h, w) in [(33, 47), (32, 32), (61, 35), (40, 64)]:
         x = rng.uniform(-1, 1, (2, h, w, 3)).astype(np.float32)
         y = rng.uniform(-1, 1, (2, h, w, 3)).astype(np.float32)
-        ref = np.asarray(jd(x, y))
+        ref = np.asarray(jd(params, x, y))
         ph, pw = -(-h // 32) * 32, -(-w // 32) * 32
         pad = ((0, 0), (0, ph - h), (0, pw - w), (0, 0))
         got = np.asarray(
-            jm(np.pad(x, pad), np.pad(y, pad), jnp.array([h, w], jnp.int32))
+            jm(params, np.pad(x, pad), np.pad(y, pad),
+               jnp.array([h, w], jnp.int32))
         )
         np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-7,
                                    err_msg=f"extent {(h, w)}")

@@ -30,15 +30,7 @@ NC = 12  # tiny cluster count
 # while the jitted program executes in ms and its XLA compile persists in
 # conftest's compilation cache across suite runs.  Keying on the pipe object
 # also lets tests that render the same pipe share one trace+compile.
-_JIT: dict = {}
-
-
-def J(pipe, method="render_frame"):
-    key = (id(pipe), method)
-    hit = _JIT.get(key)
-    if hit is None:
-        hit = _JIT[key] = (pipe, jax.jit(getattr(pipe, method)))
-    return hit[1]
+from transhuman_tpu.testing import jit_method as J  # noqa: E402
 
 
 @pytest.fixture(scope="module")

@@ -163,8 +163,19 @@ def make_tp_train_step(
         pipe, lpips_fn, l2_weight, lpips_weight, patch_mode, perturb
     )
 
+    n_data = mesh.shape["data"]
+
     def step(state: TrainState, batch, rng):
         b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if accum_steps > 1 and b % (n_data * accum_steps) != 0:
+            # the strided microbatch split keeps rows shard-local only when
+            # accum_steps divides the per-shard batch (b / n_data); anything
+            # else would silently reshard or idle data shards per microbatch
+            raise ValueError(
+                f"global batch {b} must be divisible by data axis {n_data} "
+                f"x accum_steps {accum_steps} so each shard's local batch "
+                "splits evenly into microbatches"
+            )
         # same per-sample keys as the DP step's global-index fold
         # (train/step.py local_step: axis_index('data')*local_b + arange)
         rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(b))

@@ -109,3 +109,24 @@ def init_params(model: TransHumanNet, frame: FrameInputs, n_clusters: int, key):
         jnp.zeros((n_clusters, 3, 3)),
         jnp.zeros((8, 6 * getattr(model, "view_freqs", 4) + 3)),
     )
+
+
+_JIT_METHODS: dict = {}
+
+
+def jit_method(obj, method: str = "render_frame"):
+    """jax.jit(getattr(obj, method)) memoized per (obj, method).
+
+    For test suites that render many pipeline variants: re-tracing an
+    identical program per call site dominates wall time (a persistent
+    compilation cache only skips the XLA compile, not tracing/lowering).
+    Keeps a strong reference to `obj` so the id() key stays valid for the
+    process lifetime.
+    """
+    import jax
+
+    key = (id(obj), method)
+    hit = _JIT_METHODS.get(key)
+    if hit is None:
+        hit = _JIT_METHODS[key] = (obj, jax.jit(getattr(obj, method)))
+    return hit[1]

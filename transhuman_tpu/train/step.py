@@ -114,6 +114,12 @@ def accum_value_and_grad(loss_fn, params, batch, rngs, accum_steps: int):
     microbatch), so with accum_steps > 1 the result differs from the
     one-shot batch exactly as unsynced-BN DDP differs from SyncBN.  Gradients
     and stats are arithmetic means over microbatches either way.
+
+    Corollary: microbatch MEMBERSHIP depends on a sample's position in the
+    batch, so with cross-sample BN pooling the bitwise
+    layout-independence contract of the DP step (see local_step's rng fold)
+    holds only at accum_steps == 1 — reordering samples across devices
+    changes which samples share BN statistics, not which rng they get.
     """
     vag = jax.value_and_grad(loss_fn, has_aux=True)
     if accum_steps <= 1:
@@ -121,7 +127,7 @@ def accum_value_and_grad(loss_fn, params, batch, rngs, accum_steps: int):
     b = jax.tree_util.tree_leaves(batch)[0].shape[0]
     if b % accum_steps != 0:
         raise ValueError(
-            f"local batch {b} not divisible by accum_steps {accum_steps}"
+            f"batch {b} not divisible by accum_steps {accum_steps}"
         )
     mb = b // accum_steps
 
