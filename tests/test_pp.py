@@ -1,0 +1,122 @@
+"""Pipeline-parallel TransHE (parallel/pp.py): forward + gradient equality
+vs the unsharded module, stage-param sharding, and layout round-trips.
+
+The reference has no pipeline parallelism (SURVEY.md §2.4); this is the
+TPU-native extension for vit_base-scale TransHE variants
+(vision_transformer.py:404-417)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from transhuman_tpu.models.vit import TransHE
+from transhuman_tpu.parallel.pp import (
+    make_pp_mesh,
+    make_pp_vit_apply,
+    shard_pp_params,
+    stack_block_params,
+    unstack_block_params,
+)
+
+DIM, HEADS, DEPTH = 12, 2, 4
+
+
+def _setup(b=4, c=6, seed=0):
+    model = TransHE(embed_dim=DIM, depth=DEPTH, num_heads=HEADS)
+    rng = np.random.default_rng(seed)
+    tokens = jnp.asarray(rng.normal(size=(b, c, DIM)), jnp.float32)
+    pe = jnp.asarray(rng.uniform(-1, 1, size=(b, c, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), tokens, pe)["params"]
+    return model, params, tokens, pe
+
+
+def test_stack_round_trip():
+    _, params, _, _ = _setup()
+    pp = stack_block_params(params, 2)
+    lead = jax.tree_util.tree_leaves(pp["stages"])[0].shape[:2]
+    assert lead == (2, DEPTH // 2)
+    back = unstack_block_params(pp)
+    jax.tree.map(
+        np.testing.assert_array_equal, back, dict(params)
+    )
+
+
+@pytest.mark.parametrize("n_stages,n_micro", [(2, 2), (4, 4), (2, 4), (4, 1)])
+def test_pp_forward_matches_unsharded(n_stages, n_micro):
+    model, params, tokens, pe = _setup(b=4)
+    ref = model.apply({"params": params}, tokens, pe)
+    mesh = make_pp_mesh(n_stages)
+    apply = make_pp_vit_apply(model, mesh, n_micro)
+    pp = shard_pp_params(mesh, stack_block_params(params, n_stages))
+    got = jax.jit(apply)(pp, tokens, pe)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_pp_forward_with_mask_and_pe_table():
+    model, params, tokens, pe = _setup(b=4)
+    mask = np.zeros(tokens.shape[:2], bool)
+    mask[:, ::2] = True
+    from transhuman_tpu.models.embedder import embed_vit_pos
+
+    table = embed_vit_pos(pe, DIM)  # precomputed (B, C, D) path
+    ref = model.apply({"params": params}, tokens, table, jnp.asarray(mask))
+    mesh = make_pp_mesh(2)
+    apply = make_pp_vit_apply(model, mesh, 2)
+    pp = shard_pp_params(mesh, stack_block_params(params, 2))
+    got = jax.jit(apply)(pp, tokens, table, jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_pp_grads_match_unsharded():
+    """jax.grad through the scanned pipeline IS the pipelined backward —
+    cotangents ride the inverse ppermute ring.  Compare per-block grads."""
+    model, params, tokens, pe = _setup(b=4)
+    tgt = jnp.asarray(np.random.default_rng(7).normal(size=tokens.shape),
+                      jnp.float32)
+
+    def ref_loss(p):
+        return jnp.mean((model.apply({"params": p}, tokens, pe) - tgt) ** 2)
+
+    ref_grads = jax.grad(ref_loss)(params)
+
+    mesh = make_pp_mesh(2)
+    apply = make_pp_vit_apply(model, mesh, 2)
+    pp = shard_pp_params(mesh, stack_block_params(params, 2))
+
+    def pp_loss(p):
+        return jnp.mean((apply(p, tokens, pe) - tgt) ** 2)
+
+    pp_grads = jax.jit(jax.grad(pp_loss))(pp)
+    got = unstack_block_params(pp_grads)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        ),
+        got,
+        dict(ref_grads),
+    )
+
+
+def test_pp_stage_params_actually_sharded():
+    model, params, _, _ = _setup()
+    mesh = make_pp_mesh(4)
+    pp = shard_pp_params(mesh, stack_block_params(params, 4))
+    qkv = pp["stages"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P("pipe")
+    assert pp["mask_token"].sharding.spec == P()
+
+
+def test_pp_validation_errors():
+    model, params, tokens, pe = _setup()
+    with pytest.raises(ValueError, match="not divisible"):
+        stack_block_params(params, 3)
+    mesh = make_pp_mesh(2)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_pp_vit_apply(TransHE(embed_dim=DIM, depth=3, num_heads=HEADS),
+                          mesh, 2)
+    apply = make_pp_vit_apply(model, mesh, 3)
+    pp = shard_pp_params(mesh, stack_block_params(params, 2))
+    with pytest.raises(ValueError, match="not divisible"):
+        apply(pp, tokens, pe)
