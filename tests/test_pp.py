@@ -99,6 +99,47 @@ def test_pp_grads_match_unsharded():
     )
 
 
+def test_pp_composes_with_dp():
+    """DP x PP over a ('data','pipe') mesh: microbatch rows sharded over
+    'data', stages over 'pipe'; forward + grads equal to unsharded."""
+    from jax.sharding import Mesh, NamedSharding
+
+    model, params, tokens, pe = _setup(b=4)
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("data", "pipe"))
+    apply = make_pp_vit_apply(model, mesh, n_micro=2, batch_axis="data")
+    pp = {
+        "stages": jax.tree.map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh, P("pipe"))
+            ),
+            stack_block_params(params, 2)["stages"],
+        ),
+        "mask_token": params["mask_token"],
+        "norm": params["norm"],
+    }
+    ref = model.apply({"params": params}, tokens, pe)
+    got = jax.jit(apply)(pp, tokens, pe)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    tgt = jnp.asarray(np.random.default_rng(3).normal(size=tokens.shape),
+                      jnp.float32)
+
+    ref_g = jax.grad(
+        lambda p: jnp.mean((model.apply({"params": p}, tokens, pe) - tgt) ** 2)
+    )(params)
+    pp_g = jax.jit(
+        jax.grad(lambda p: jnp.mean((apply(p, tokens, pe) - tgt) ** 2))
+    )(pp)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        ),
+        unstack_block_params(pp_g),
+        dict(ref_g),
+    )
+
+
 def test_pp_stage_params_actually_sharded():
     model, params, _, _ = _setup()
     mesh = make_pp_mesh(4)

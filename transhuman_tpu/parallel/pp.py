@@ -104,7 +104,9 @@ def shard_pp_params(mesh: Mesh, pp_params):
     }
 
 
-def make_pp_vit_apply(model: TransHE, mesh: Mesh, n_micro: int):
+def make_pp_vit_apply(
+    model: TransHE, mesh: Mesh, n_micro: int, batch_axis: str | None = None
+):
     """Returns apply(pp_params, tokens, pe, mask=None) — output-equal to
     `model.apply({'params': vit_params}, tokens, pe, mask)` with the blocks
     pipelined over mesh axis 'pipe' and the token batch split into
@@ -114,8 +116,16 @@ def make_pp_vit_apply(model: TransHE, mesh: Mesh, n_micro: int):
     view axis V in the TransHuman forward, or B*V in a batched step).
     pe: (B, C, 3) centroids or a precomputed (B, C, D) table, exactly like
     TransHE.__call__ (models/vit.py:103-121).
+
+    batch_axis: name of a second mesh axis to shard each microbatch's row
+    axis over (DP x PP over a ('data', 'pipe') mesh: every 'data' row runs
+    the same pipeline on its batch slice; stage params are replicated over
+    'data' and sharded over 'pipe').  The prologue/epilogue then also run
+    'data'-sharded.  None = 'pipe' is the only mesh axis used.
     """
     n_stages = mesh.shape["pipe"]
+    if batch_axis is not None and batch_axis not in mesh.shape:
+        raise ValueError(f"batch_axis {batch_axis!r} not in mesh {mesh}")
     if model.depth % n_stages:
         raise ValueError(
             f"depth {model.depth} not divisible by pipe axis {n_stages}"
@@ -133,11 +143,13 @@ def make_pp_vit_apply(model: TransHE, mesh: Mesh, n_micro: int):
 
         return lax.scan(body, x, stage_blocks)[0]
 
+    xm_spec = P(None, batch_axis)  # microbatch axis whole, rows DP-sharded
+
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P("pipe"), P()),
-        out_specs=P(),
+        in_specs=(P("pipe"), xm_spec),
+        out_specs=xm_spec,
         check_vma=False,
     )
     def pipeline(stages, xm):
