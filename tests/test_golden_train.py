@@ -76,11 +76,13 @@ def run_golden():
     for i in range(N_STEPS):
         state, stats = step(state, batch, jax.random.PRNGKey(100 + i))
         losses.append(float(stats["loss"]))
+    # accumulate on HOST in true f64 (jax_enable_x64 is off, so a device-side
+    # f64 cast truncates back to f32 and the sum order would leak into the pin)
     norms = {
         f"norm_{k}": np.float64(
             np.sqrt(
                 sum(
-                    float(jnp.sum(jnp.square(x.astype(jnp.float64))))
+                    float((np.asarray(x, np.float64) ** 2).sum())
                     for x in jax.tree_util.tree_leaves(v)
                 )
             )

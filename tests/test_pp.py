@@ -102,22 +102,14 @@ def test_pp_grads_match_unsharded():
 def test_pp_composes_with_dp():
     """DP x PP over a ('data','pipe') mesh: microbatch rows sharded over
     'data', stages over 'pipe'; forward + grads equal to unsharded."""
-    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import Mesh
 
     model, params, tokens, pe = _setup(b=4)
     devs = np.array(jax.devices()[:4]).reshape(2, 2)
     mesh = Mesh(devs, ("data", "pipe"))
     apply = make_pp_vit_apply(model, mesh, n_micro=2, batch_axis="data")
-    pp = {
-        "stages": jax.tree.map(
-            lambda x: jax.device_put(
-                x, NamedSharding(mesh, P("pipe"))
-            ),
-            stack_block_params(params, 2)["stages"],
-        ),
-        "mask_token": params["mask_token"],
-        "norm": params["norm"],
-    }
+    # the production placement helper works unchanged on the 2-D mesh
+    pp = shard_pp_params(mesh, stack_block_params(params, 2))
     ref = model.apply({"params": params}, tokens, pe)
     got = jax.jit(apply)(pp, tokens, pe)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
@@ -161,3 +153,9 @@ def test_pp_validation_errors():
     pp = shard_pp_params(mesh, stack_block_params(params, 2))
     with pytest.raises(ValueError, match="not divisible"):
         apply(pp, tokens, pe)
+    # params stacked for 4 stages on a 2-stage mesh would shard cleanly and
+    # silently drop blocks 1 and 3 without the lead-dim guard
+    apply2 = make_pp_vit_apply(model, mesh, 2)
+    pp4 = shard_pp_params(mesh, stack_block_params(params, 4))
+    with pytest.raises(ValueError, match="stacked for 4 stages"):
+        apply2(pp4, tokens, pe)

@@ -190,6 +190,14 @@ def make_pp_vit_apply(
         b = tokens.shape[0]
         if b % n_micro:
             raise ValueError(f"batch {b} not divisible by n_micro {n_micro}")
+        lead = jax.tree_util.tree_leaves(pp_params["stages"])[0].shape[0]
+        if lead != n_stages:
+            # a mismatched-but-divisible stacking would otherwise shard
+            # cleanly and the stages[0] pick would silently DROP blocks
+            raise ValueError(
+                f"params stacked for {lead} stages but mesh 'pipe' axis is "
+                f"{n_stages}; restack with stack_block_params(p, {n_stages})"
+            )
         # prologue/epilogue replicated, exactly TransHE.__call__'s
         if mask is not None:
             tokens = jnp.where(
