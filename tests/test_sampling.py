@@ -133,3 +133,25 @@ def test_custom_vjp_matches_autodiff(rng):
     )
     np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_r), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gu_c), np.asarray(gu_r), atol=1e-3)
+
+
+def test_int8_quantized_sampling_keeps_bilinear_fractions():
+    """Regression: the bilinear fractions must never be cast to the int8
+    feature dtype (that truncates every fraction to 0 — corner snapping).
+    Sample exactly halfway between two texels of a high-contrast int8 map
+    and require the midpoint value, which corner snapping cannot produce."""
+    import jax.numpy as jnp
+
+    from transhuman_tpu.ops.sampling import quantize_feature_map
+
+    h = w = 8
+    feat = np.zeros((1, h, w, 1), np.float32)
+    feat[:, :, 4::1, :] = 1.0  # step edge between x=3 and x=4
+    q, scale = quantize_feature_map(jnp.asarray(feat))
+    assert q.dtype == jnp.int8
+    # image coords == feature coords (same shape); x=3.5 is mid-edge
+    uv = np.array([[[3.5, 2.0]]], np.float32)  # (V=1, N=1, 2)
+    out = np.asarray(
+        sample_feature_map(q, jnp.asarray(uv), (h, w)), np.float32
+    ) * np.asarray(scale)
+    np.testing.assert_allclose(out.ravel(), [0.5], atol=1.0 / 127)

@@ -31,9 +31,14 @@ _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 def init_lpips_params(key, seed_scale: float = 0.05):
     """Random-weight parameter tree with the correct shapes (testing only;
-    real use requires converted pretrained weights)."""
+    real use requires converted pretrained weights).  Distinct `key`s give
+    distinct trees (the key seeds the host rng)."""
     params = {}
-    rng = np.random.default_rng(0)
+    try:  # typed PRNG key or legacy uint32 key array both accepted
+        kd = np.asarray(jax.random.key_data(key))
+    except TypeError:
+        kd = np.asarray(key)
+    rng = np.random.default_rng(kd.astype(np.uint64).ravel())
     c_in = 3
     for si, (n_convs, ch) in enumerate(VGG16_STAGES):
         for ci in range(n_convs):

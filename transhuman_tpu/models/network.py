@@ -105,6 +105,11 @@ class TransHumanNet(nn.Module):
             dist_alpha=self.knn_dist_alpha,
             n_freqs=self.knn_freqs,
             knn_sigma=self.knn_sigma if self.use_truncation else None,
+            # f32 (parity) mode forces true-f32 MXU passes for the distance/
+            # aggregation matmuls: TPU DEFAULT precision multiplies f32
+            # operands in bf16, which can re-rank near-tie kNN neighbours
+            # vs the torch oracle; bf16 mode keeps the fast default
+            precision="highest" if self.dtype is None else None,
         )
         if keep is not None:
             pts_mask = keep if pts_mask is None else (pts_mask & keep)

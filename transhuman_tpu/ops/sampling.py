@@ -84,18 +84,18 @@ def _sample_taps(feat, uv, image_shape):
 
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
-    wx = (fx - x0).astype(feat.dtype)[..., None]
-    wy = (fy - y0).astype(feat.dtype)[..., None]
     # one 2x2xC patch gather per point instead of four 1xC tap gathers:
     # larger contiguous slices, one HBM gather pass (clip handles borders;
     # the x0==Wf-1 column double-reads the border texel, weight math below
     # still interpolates correctly because wx<=1)
     x0i = jnp.minimum(x0.astype(jnp.int32), Wf - 2) if Wf > 1 else x0.astype(jnp.int32)
     y0i = jnp.minimum(y0.astype(jnp.int32), Hf - 2) if Hf > 1 else y0.astype(jnp.int32)
-    # after the min-clamp the fractional weight must be recomputed relative
-    # to the (possibly shifted) base texel so the sample point is unchanged
-    wx = (fx - x0i).astype(feat.dtype)[..., None]
-    wy = (fy - y0i).astype(feat.dtype)[..., None]
+    # fractional weights relative to the (possibly min-clamped) base texel;
+    # weights must stay REAL even for int8-quantized maps — casting to
+    # feat.dtype there would truncate every fraction to 0 (corner snapping)
+    wdt = jnp.bfloat16 if feat.dtype == jnp.int8 else feat.dtype
+    wx = (fx - x0i).astype(wdt)[..., None]
+    wy = (fy - y0i).astype(wdt)[..., None]
 
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2, 3),
@@ -111,9 +111,7 @@ def _sample_taps(feat, uv, image_shape):
 
     patches = jax.vmap(view_gather)(feat, y0i, x0i)  # (V, N, 2, 2, C)
     if patches.dtype == jnp.int8:
-        patches = patches.astype(jnp.bfloat16)
-        wx = wx.astype(jnp.bfloat16)
-        wy = wy.astype(jnp.bfloat16)
+        patches = patches.astype(jnp.bfloat16)  # wx/wy already bf16 (wdt)
     return patches, wx, wy, x0i, y0i
 
 

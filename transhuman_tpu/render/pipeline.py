@@ -254,7 +254,12 @@ class RenderPipeline:
     def _prefilter_chunk(self, frame, c_pts, centers, thresh2):
         from ..ops.knn import pairwise_dist2
 
-        d2 = pairwise_dist2(to_smpl(frame, c_pts), centers)
+        # f32 (parity) mode forces true-f32 MXU passes: TPU DEFAULT precision
+        # multiplies f32 operands in bf16, and this comparison feeds a mask
+        d2 = pairwise_dist2(
+            to_smpl(frame, c_pts), centers,
+            precision="highest" if self.model.dtype is None else None,
+        )
         return jnp.min(d2 - thresh2[None, :], axis=1) <= 0.0
 
     def _compact_mask(self, frame, flat, extra_mask, cp):
@@ -304,12 +309,19 @@ class RenderPipeline:
                     interpret=jax.devices()[0].platform == "cpu",
                 )
                 return d2 < self.cull_distance**2
-        # bf16 arithmetic: the cull is VPU-bound and the threshold wobble at
-        # bf16 precision (~0.4% of 0.1 m) only perturbs empty-air boundary
-        # points whose density contribution is ~0
+        # bf16 arithmetic: the cull is VPU-bound and the threshold wobble
+        # (up to a few cm through the expanded-form d2 at bf16) only admits
+        # empty-air boundary points whose density contribution is ~0.
+        # Compact-vs-dense consistency does NOT rest on this precision:
+        # both frame paths intersect with the same _prefilter_chunk mask
+        # (consistency by construction), so a wobbled keep is wobbled
+        # identically in both.
         dt = jnp.bfloat16 if self.model.dtype is not None else jnp.float32
         return (
-            min_dist(pts_smpl.astype(dt), verts_smpl.astype(dt))
+            min_dist(
+                pts_smpl.astype(dt), verts_smpl.astype(dt),
+                precision="highest" if self.model.dtype is None else None,
+            )
             < self.cull_distance
         )
 
@@ -417,7 +429,11 @@ class RenderPipeline:
             rays.ray_d,
             self.white_bkgd,
             self.raw_noise_std,
-            rng,
+            # decorrelate the density noise from the depth-jitter draw above
+            # (same key + same shape would make normal() a pointwise
+            # transform of the jitter bits); fold_in keeps the jitter draw
+            # bitwise unchanged, and composite ignores rng at noise_std=0
+            None if rng is None else jax.random.fold_in(rng, 1),
         )
         return out
 
@@ -453,12 +469,26 @@ class RenderPipeline:
             rays.ray_o, rays.ray_d, rays.near, rays.far, s
         )  # (R, S, 3)
 
+        # Compaction-enabled pipes ALSO apply the cluster prefilter here, so
+        # the dense fallback decodes exactly the compact path's point set
+        # (consistency by construction).  In exact arithmetic the prefilter
+        # is a superset of the cull (no-op); in bf16 the exact cull can keep
+        # a point a few cm outside the f32 prefilter ball, which would
+        # otherwise make compact-vs-dense diverge with overflow == 0.
+        # Pure-dense pipes (compact_ratio=None) keep reference semantics.
+        pre_tables = (
+            self._prefilter_tables(frame)
+            if self.compact_ratio is not None else None
+        )
+
         def chunk_body(chunk):
             c_pts, c_vde, c_rmask = chunk  # (cr,S,3), (cr,27), (cr,)
             flat_pts = c_pts.reshape(cr * s, 3)
             pts_smpl = to_smpl(frame, flat_pts)
             near_body = self._cull(pts_smpl, frame.tar_verts_smpl)
             mask = near_body & jnp.repeat(c_rmask, s)
+            if pre_tables is not None:
+                mask &= self._prefilter_chunk(frame, flat_pts, *pre_tables)
             c_vde_b = jnp.broadcast_to(
                 c_vde[:, None, :], (cr, s, c_vde.shape[-1])
             ).reshape(cr * s, -1)
@@ -509,8 +539,18 @@ class RenderPipeline:
         ops, no descriptors)."""
         r = rays.ray_o.shape[0]
         s = self.n_samples
+        if s < 2:
+            # the stream z reconstruction divides by (s - 1); n_samples=1
+            # would NaN silently — the dense path handles it
+            raise ValueError(
+                "compact rendering needs n_samples >= 2 (the stream z/dist "
+                "reconstruction divides by n_samples-1); use "
+                "render_frame_dense / compact_ratio=None for n_samples=1"
+            )
+        cr = self.chunk_rays
+        assert r % cr == 0, f"ray count {r} must be padded to a multiple of {cr}"
         n = r * s
-        cp = self.chunk_rays * s  # points per decode chunk
+        cp = cr * s  # points per decode chunk
 
         pro = self.prologue(params, frame)
         viewdir = rays.ray_d / jnp.linalg.norm(rays.ray_d, axis=-1, keepdims=True)
@@ -676,13 +716,22 @@ class RenderPipeline:
         assert n % cp == 0, f"{n} not a multiple of chunk {cp}"
         pro = self.prologue(params, frame)
         vde = jnp.zeros((cp, 6 * self.view_freqs + 3), pts_world.dtype)
+        # same consistency-by-construction prefilter as render_frame_dense:
+        # the sigma recovery path must decode render_sigma's exact point set
+        pre_tables = (
+            self._prefilter_tables(frame)
+            if self.compact_ratio is not None else None
+        )
 
         def chunk_body(chunk):
             c_pts, c_mask = chunk
             pts_smpl = to_smpl(frame, c_pts)
             near_body = self._cull(pts_smpl, frame.tar_verts_smpl)
+            mask = c_mask & near_body
+            if pre_tables is not None:
+                mask &= self._prefilter_chunk(frame, c_pts, *pre_tables)
             raw = self.query_points(
-                params, frame, pro, c_pts, vde, c_mask & near_body,
+                params, frame, pro, c_pts, vde, mask,
                 allow_pallas=True,
             )
             return raw[:, 3].astype(jnp.float32)
