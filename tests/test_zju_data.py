@@ -194,7 +194,7 @@ def test_input_view_cache_equality_and_hits(fake_zju):
     # byte-bound eviction keeps the cache under budget (eviction runs on
     # insert, so start cold)
     ds_warm._iv_cache.clear()
-    ds_warm._iv_cache_bytes = 1  # every insert evicts down to 1 entry
+    ds_warm._iv_cache.max_bytes = 1  # every insert evicts down to 1 entry
     ds_warm.get_eval_item(1)
     assert len(ds_warm._iv_cache) == 1
 

@@ -193,6 +193,11 @@ def sample_train_rays_random(
     bound_mask[msk_eff == 100] = 0  # exclude the eroded-border label
 
     body_pix = np.flatnonzero(msk_eff == 1)
+    # NOTE face_ratio is dead in the reference too: masks are binarized to
+    # {0,1} before sampling (can_smpl.py:134-141), so the CIHP face label 13
+    # never survives and n_face is always backfilled from later rounds.
+    # Kept verbatim for parity with sample_ray_h36m's face branch
+    # (if_nerf_data_utils.py:229-245).
     face_pix = np.flatnonzero(msk_eff == 13)
     rand_pix = np.flatnonzero(bound_mask == 1)
 

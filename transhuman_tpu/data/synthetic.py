@@ -91,6 +91,26 @@ class SyntheticDataset:
     def get_train_sample(self, index) -> TrainSample:
         rng = np.random.default_rng(index + self.epoch * self.cfg.seed)
         frame, (timg, tK, tR, tT), bounds = self._frame_and_target(index)
+        if not self.cfg.patch.use_patch_sampling:
+            # non-patch mode (masked-MSE loss): mirror ZJUDataset's branch so
+            # the only asset-free dataset can exercise the wired path; the
+            # synthetic target has no segmentation, so the subject mask is
+            # the whole image (body_ratio then draws uniformly)
+            from .ray_sampling import sample_train_rays_random
+
+            rr = sample_train_rays_random(
+                np.asarray(timg, np.float32),
+                np.ones(self.hw, np.uint8),
+                np.asarray(tK),
+                np.asarray(tR),
+                np.asarray(tT).reshape(3, 1),
+                bounds,
+                rng,
+                n_rays=self.cfg.N_rand,
+                body_ratio=self.cfg.body_sample_ratio,
+                face_ratio=self.cfg.face_sample_ratio,
+            )
+            return TrainSample(frame=frame, rays=rr.rays, target_rgb=rr.rgb)
         ps, npatch = self.cfg.patch.size, self.cfg.patch.N_patches
         h, w = self.hw
         ray_o, ray_d = get_rays(h, w, tK, tR, tT.reshape(3, 1))

@@ -61,7 +61,13 @@ def _imread_rgb(p):
 
 
 SPECIAL_HUMANS = ("CoreView_313", "CoreView_315")
-# 313/315 store 23 entries with cameras 19/20 missing from disk
+# 313/315 annots use the COMPACT 21-camera layout: K/R/T/ims rows align with
+# this list, which maps compact index -> on-set camera number - 1 (cameras
+# 20/21 of the 23 on set are absent).  This is the reference's contract too:
+# its own `cam_idx_list[idx]` (can_smpl.py:352,430) IndexErrors on a 23-row
+# annots, so any annots it trained on must be compact.  __init__ validates
+# the row count loudly (a raw 23-row annots would otherwise read wrong
+# calibration for rows >= 19).
 CAM_IDX_313 = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 21, 22]
 
 
@@ -104,20 +110,21 @@ class ZJUDataset:
             smpl = SMPLModel.load(cfg.smpl_dir)
         self.smpl = smpl
         self.epoch = 0
-        self._ud_cache: Dict[tuple, tuple] = {}  # undistort maps per cam+size
+        from ..utils.cache import ByteLRU
+
+        # undistort maps per (human, cam, size): ~8.4 MB each at 1024x1024;
+        # the realistic working set (7 train humans x ~21 cams) is ~1.2 GB,
+        # so the budget is set ABOVE it — the bound is a ceiling against
+        # pathological key spaces (many sizes), not a thrash knob (an evicted
+        # hot entry costs a 40 ms initUndistortRectifyMap rebuild)
+        self._ud_cache = ByteLRU(int(1.5 * 1024**3))
         # processed-input-view LRU (jitter-off items only): FrameSampler keeps
         # every target camera of a kept frame (samplers.py:136-164), so eval/
         # visualize items arrive in runs of len(test.target_view) that share
         # the SAME input views — without this each run re-decoded,
         # re-undistorted, re-resized and re-read vizmaps len(target_view)
-        # times (~the whole 216 ms/sample host cost).  Byte-bounded like the
-        # ray-grid LRU (geometry/rays.py:137-167).
-        import threading
-        from collections import OrderedDict
-
-        self._iv_cache: "OrderedDict" = OrderedDict()
-        self._iv_cache_bytes = 128 * 1024 * 1024
-        self._iv_lock = threading.Lock()
+        # times (~the whole 216 ms/sample host cost).
+        self._iv_cache = ByteLRU(128 * 1024 * 1024)
 
         if human_info is None:
             human_info = catalog.get_human_info(split, cfg.test.mode)
@@ -151,6 +158,13 @@ class ZJUDataset:
             ).item()
             self.cams[human] = annots["cams"]
             num_cams = len(self.cams[human]["K"])
+            if human in SPECIAL_HUMANS and num_cams != len(CAM_IDX_313):
+                raise ValueError(
+                    f"{human}: annots list {num_cams} cameras but the "
+                    f"compact {len(CAM_IDX_313)}-camera layout is required "
+                    "(see CAM_IDX_313; a raw 23-row annots would silently "
+                    "pair wrong calibration with on-disk cameras)"
+                )
             target_view = (
                 list(range(num_cams)) if split == "train" else list(cfg.test.target_view)
             )
@@ -260,7 +274,7 @@ class ZJUDataset:
                 maps = cv2.initUndistortRectifyMap(
                     K, D, None, K, (w, h), cv2.CV_32FC1
                 )
-            self._ud_cache[key] = maps
+            self._ud_cache.put(key, maps)
         return maps
 
     def _process(self, img_u8, msk, human, cam_ind, jitter_seed=None):
@@ -351,11 +365,9 @@ class ZJUDataset:
         'mutated during iteration' crash."""
         key = (human, v, frame_file)
         if jseed is None:
-            with self._iv_lock:
-                hit = self._iv_cache.get(key)
-                if hit is not None:
-                    self._iv_cache.move_to_end(key)
-                    return hit
+            hit = self._iv_cache.get(key)
+            if hit is not None:
+                return hit
         cam_id = (CAM_IDX_313[v] + 1) if human in SPECIAL_HUMANS else (v + 1)
         ipath = os.path.join(
             self.data_root, human, self._cam_dir(human, cam_id), frame_file
@@ -364,25 +376,17 @@ class ZJUDataset:
         imsk = self._load_mask(human, self._cam_dir(human, cam_id), frame_file)
         iimg, _, iK, iR, iT = self._process(iimg, imsk, human, v, jseed)
         ivz = self._vizmap(human, cam_id, frame_str)
+        # depth maps feed visibility only when depth_vizmap is also set
+        # (_build_frame's gate); loading them without it was pure host-path
+        # waste that also ate _iv_cache budget
         idep = (
             self._depthmap(human, cam_id, frame_str)
-            if self.cfg.depth_map
+            if (self.cfg.depth_map and self.cfg.depth_vizmap)
             else None
         )
         out = (iimg, iK, iR, iT, ivz, idep)
         if jseed is None:
-            for a in out:
-                if a is not None:
-                    a.setflags(write=False)
-            with self._iv_lock:
-                self._iv_cache[key] = out
-                total = sum(
-                    sum(a.nbytes for a in t if a is not None)
-                    for t in self._iv_cache.values()
-                )
-                while total > self._iv_cache_bytes and len(self._iv_cache) > 1:
-                    _, t = self._iv_cache.popitem(last=False)  # oldest first
-                    total -= sum(a.nbytes for a in t if a is not None)
+            self._iv_cache.put(key, out)
         return out
 
     # -- item assembly -------------------------------------------------

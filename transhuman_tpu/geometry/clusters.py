@@ -69,10 +69,19 @@ class ClusterSpec:
                     centers[c] = verts[m].mean(0)
                 else:  # re-seed empty cluster at the farthest point
                     centers[c] = verts[d2.min(1).argmax()]
-        # ensure no empty clusters in the final assignment
+        # ensure no empty clusters in the final assignment; donors must keep
+        # at least one member or the fixup would just move the hole (the
+        # nearest vertex can be its own cluster's sole member) — with
+        # n >= num_clusters a >1-member donor always exists by pigeonhole
+        counts = np.bincount(assign, minlength=num_clusters)
         for c in range(num_clusters):
-            if not (assign == c).any():
-                assign[np.argmax(((verts - centers[c]) ** 2).sum(-1) * -1)] = c
+            if counts[c] == 0:
+                for v in np.argsort(((verts - centers[c]) ** 2).sum(-1)):
+                    if counts[assign[v]] > 1:
+                        counts[assign[v]] -= 1
+                        assign[v] = c
+                        counts[c] += 1
+                        break
         return cls(assign.astype(np.int32), num_clusters)
 
     def save_reference_dict(self, path: str):
@@ -93,8 +102,6 @@ class ClusterSpec:
         numpy variant; on device simply use `spec_pool_matrix @ feats` (see
         models/network.py) so it fuses into the surrounding jit.
         """
-        flat = vert_features.reshape(*vert_features.shape[:-2], -1)  # no-op guard
-        del flat
         return np.einsum("cv,...vd->...cd", self.pool_matrix, vert_features)
 
     def centers(self, verts: np.ndarray) -> np.ndarray:

@@ -130,12 +130,9 @@ def get_near_far(bounds: np.ndarray, ray_o: np.ndarray, ray_d: np.ndarray):
     return near.astype(np.float32), far.astype(np.float32), mask_at_box
 
 
-from collections import OrderedDict as _OrderedDict
-from threading import Lock as _Lock
+from ..utils.cache import ByteLRU as _ByteLRU
 
-_RAY_CACHE: "_OrderedDict" = _OrderedDict()
-_RAY_CACHE_BYTES = 256 * 1024 * 1024  # LRU budget (one 512x512 grid = 6 MB)
-_RAY_CACHE_LOCK = _Lock()
+_RAY_CACHE = _ByteLRU(256 * 1024 * 1024)  # one 512x512 grid = 6 MB
 
 
 def get_rays_cached(H, W, K, R, T):
@@ -146,29 +143,17 @@ def get_rays_cached(H, W, K, R, T):
     byte-bounded LRU (a count bound would hold gigabytes at 1024x1024, and
     clearing everything would also evict the cameras currently iterating).
     Returned arrays are shared read-only views — callers must not mutate
-    them (get_near_far already copies before its in-place clamp).  Access is
-    locked: Loader worker threads call this concurrently, and an unlocked
-    eviction scan racing an insert crashes intermittently."""
+    them (get_near_far already copies before its in-place clamp).  ByteLRU
+    is locked: Loader worker threads call this concurrently."""
     K = np.asarray(K)
     key = (
         H, W, K.tobytes(), np.asarray(R).tobytes(), np.asarray(T).tobytes()
     )
-    with _RAY_CACHE_LOCK:
-        hit = _RAY_CACHE.get(key)
-        if hit is not None:
-            _RAY_CACHE.move_to_end(key)
-            return hit
-    ro, rd = get_rays(H, W, K, R, T)  # outside the lock: the expensive part
-    ro.setflags(write=False)
-    rd.setflags(write=False)
-    hit = (ro, rd)
-    with _RAY_CACHE_LOCK:
-        _RAY_CACHE[key] = hit
-        total = sum(a.nbytes + b.nbytes for a, b in _RAY_CACHE.values())
-        while total > _RAY_CACHE_BYTES and len(_RAY_CACHE) > 1:
-            _, (a, b) = _RAY_CACHE.popitem(last=False)  # oldest first
-            total -= a.nbytes + b.nbytes
-    return hit
+    hit = _RAY_CACHE.get(key)
+    if hit is not None:
+        return hit
+    # computed outside the lock: the expensive part
+    return _RAY_CACHE.put(key, get_rays(H, W, K, R, T))
 
 
 def get_near_far_hull(bounds, ray_o, ray_d, K, R, T, H, W):

@@ -1,0 +1,81 @@
+"""Thread-safe byte-bounded LRU for host-side numpy caches.
+
+One shared implementation for the three input-path caches (per-camera ray
+grids, processed input views, undistort maps) — previously three hand-rolled
+copies of the same lock + OrderedDict + byte-scan pattern, whose
+thread-safety bug class ('mutated during iteration' under Loader worker
+threads) had to be re-fixed per copy.
+
+Values are numpy arrays or tuples containing arrays/None.  Stored arrays are
+marked read-only: every cache here hands out shared views that concurrent
+Loader threads must not mutate (callers copy, e.g. np.stack / explicit
+.copy(), before writing).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from threading import Lock
+
+import numpy as np
+
+
+def _nbytes(value) -> int:
+    if value is None:
+        return 0
+    if isinstance(value, np.ndarray):
+        return value.nbytes
+    if isinstance(value, (tuple, list)):
+        return sum(_nbytes(v) for v in value)
+    return 0
+
+
+def _freeze(value):
+    if isinstance(value, np.ndarray):
+        value.setflags(write=False)
+    elif isinstance(value, (tuple, list)):
+        for v in value:
+            _freeze(v)
+
+
+class ByteLRU:
+    """get/put cache evicting least-recently-used entries past `max_bytes`.
+
+    The byte bound (not a count bound) is deliberate: one 1024x1024 ray grid
+    or undistort map is MBs, and a count bound silently held gigabytes.  At
+    least one entry is always kept so an oversized single value still
+    caches.  get/put each take the internal lock; computing a missed value
+    outside the lock (two threads may both compute, last put wins) is the
+    intended usage — values are deterministic functions of their keys.
+    """
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = int(max_bytes)
+        self._d: "OrderedDict" = OrderedDict()
+        self._lock = Lock()
+
+    def get(self, key):
+        with self._lock:
+            hit = self._d.get(key)
+            if hit is not None:
+                self._d.move_to_end(key)
+            return hit
+
+    def put(self, key, value):
+        _freeze(value)
+        with self._lock:
+            self._d[key] = value
+            self._d.move_to_end(key)
+            total = sum(_nbytes(v) for v in self._d.values())
+            while total > self.max_bytes and len(self._d) > 1:
+                _, v = self._d.popitem(last=False)  # oldest first
+                total -= _nbytes(v)
+        return value
+
+    def clear(self):
+        with self._lock:
+            self._d.clear()
+
+    def __len__(self):
+        with self._lock:
+            return len(self._d)
