@@ -121,3 +121,52 @@ def test_two_process_frame_sharded_eval_matches_single(tmp_path):
     assert set(a.files) == set(b.files)
     for k in a.files:
         np.testing.assert_allclose(a[k], b[k], err_msg=k)
+
+
+TP_SAVE_WORKER = Path(__file__).parent / "multihost_tp_save_worker.py"
+
+
+def test_two_process_tp_checkpoint_save(tmp_path):
+    """AsyncCheckpointer.save on multi-host TP-sharded state: snapshotting a
+    non-fully-addressable leaf is a collective all-gather every process
+    joins (write=rank==0); the written checkpoint holds the global values."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(TP_SAVE_WORKER), str(i), "2", str(port),
+             str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    try:
+        for p in procs:
+            o, _ = p.communicate(timeout=300)
+            logs.append(o)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("TP-save workers timed out (collective not joined?)\n"
+                    + "\n".join(logs))
+    if any(p.returncode != 0 for p in procs):
+        if any("UNAVAILABLE" in log or "DEADLINE_EXCEEDED" in log for log in logs):
+            pytest.skip("jax.distributed unavailable in this environment")
+        pytest.fail("\n".join(logs))
+
+    import pickle
+
+    with open(tmp_path / "latest.ckpt", "rb") as f:
+        ckpt = pickle.load(f)
+    np.testing.assert_array_equal(
+        ckpt["params"]["qkv"]["kernel"],
+        np.arange(4 * 8, dtype=np.float32).reshape(4, 8),
+    )
+    np.testing.assert_array_equal(
+        ckpt["params"]["qkv"]["bias"], np.arange(8, dtype=np.float32)
+    )
+    assert float(ckpt["params"]["scalar"]) == 3.5 and int(ckpt["step"]) == 7

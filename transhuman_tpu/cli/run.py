@@ -34,11 +34,15 @@ def _make_render(cfg, pipe, dense=False):
 
         from ..parallel.infer import make_sharded_render
 
-        devs = jax.devices()
+        # LOCAL devices: under multi-process frame sharding each process
+        # renders its own frames, so its ray mesh must span only devices it
+        # can address (jax.devices() would hand every process the global
+        # list and non-zero ranks would device_put onto remote chips)
+        devs = jax.local_devices()
         if len(devs) < cfg.mesh_axis_rays:
             raise ValueError(
                 f"mesh_axis_rays={cfg.mesh_axis_rays} but only "
-                f"{len(devs)} devices are available"
+                f"{len(devs)} local devices are available"
             )
         render, pad_mult = make_sharded_render(
             pipe, Mesh(np.array(devs[: cfg.mesh_axis_rays]), ("data",)),
@@ -47,7 +51,10 @@ def _make_render(cfg, pipe, dense=False):
         bucket = -(-max(cfg.pad_bucket, pad_mult) // pad_mult) * pad_mult
         return render, bucket
     fn = pipe.render_frame_dense if dense else pipe.render_frame
-    return jax.jit(fn), max(cfg.pad_bucket, pipe.chunk_rays)
+    cr = pipe.chunk_rays
+    # ceil to a chunk multiple: render_frame asserts r % chunk_rays == 0,
+    # and pad_bucket need not divide evenly (e.g. chunk_size 20000 -> 312)
+    return jax.jit(fn), -(-max(cfg.pad_bucket, cr) // cr) * cr
 
 
 class FrameRenderer:
@@ -92,7 +99,10 @@ class FrameRenderer:
         """Force outputs to host (blocks); dense re-render on overflow."""
         out, frame_d, rays_d, ordinal, ratio_used = dispatched
         if self._profile_dir and ordinal == 3:
-            jax.block_until_ready(out)
+            # forced scalar readback, not just block_until_ready: the latter
+            # does not reliably block through the axon TPU tunnel (CLAUDE.md)
+            # and stop_trace would truncate the device trace
+            float(np.asarray(out["rgb_map"])[0, 0])
             jax.profiler.stop_trace()
             print(f"profiler trace (frame 3) written to {self._profile_dir}")
         n = eval_rays.rays.ray_o.shape[0]
@@ -235,22 +245,39 @@ def evaluate_frames(cfg, pipe, params, dataset, ev, per_frame=None, tag=""):
         from ..parallel.mesh import gather_positioned
 
         merge_across_processes(ev, positions[:n_frames])
-        # extra keys exist only on processes that evaluated >=1 frame; the
-        # per-key gathers are collectives, so skip them unless every process
-        # has frames (i.e. #frames >= #processes) — the metric merge above
-        # uses a fixed name list and is always safe
-        if int(np.asarray(mh.process_allgather(np.int64(n_frames))).min()):
-            extra_vals = {
-                k: gather_positioned(v, positions[: len(v)])
-                for k, v in extra_vals.items()
-            }
+        # extra keys exist only on processes that evaluated >=1 frame, but
+        # the per-key gathers are collectives that every process must join
+        # (skipping them left per-process-local means when any rank had 0
+        # frames).  Agree on the key UNION first via a fixed-width allgather
+        # so all ranks issue the same collective sequence.
+        blob = ",".join(sorted(extra_vals)).encode()[:256].ljust(256, b"\0")
+        all_blobs = np.asarray(
+            mh.process_allgather(np.frombuffer(blob, np.uint8))
+        ).reshape(-1, 256)
+        union = sorted({
+            name
+            for row in all_blobs
+            for name in bytes(row).rstrip(b"\0").decode().split(",")
+            if name
+        })
+        extra_vals = {
+            k: gather_positioned(
+                extra_vals.get(k, []), positions[: len(extra_vals.get(k, []))]
+            )
+            for k in union
+        }
     summary = ev.summarize(write=jax.process_index() == 0)
     return summary, {k: float(np.mean(v)) for k, v in extra_vals.items()}
 
 
-def run_evaluate(cfg, pipe, model, smpl, dataset=None):
+def run_evaluate(cfg, pipe, model, smpl, dataset=None, ckpt=None):
     dataset = dataset or make_dataset(cfg, "test", smpl=smpl)
-    params, epoch = load_params(model_dir(cfg), cfg.test.epoch)
+    # reuse main()'s already-unpickled checkpoint when given (a vit_base-
+    # scale pickle is hundreds of MB; load_params re-reads the file)
+    if ckpt is not None:
+        params, epoch = ckpt["params"], ckpt["epoch"]
+    else:
+        params, epoch = load_params(model_dir(cfg), cfg.test.epoch)
     from ..registry import EVALUATORS
 
     ev = EVALUATORS.get(cfg.evaluator)(
@@ -262,9 +289,10 @@ def run_evaluate(cfg, pipe, model, smpl, dataset=None):
     return summary
 
 
-def run_visualize(cfg, pipe, model, smpl, dataset=None):
+def run_visualize(cfg, pipe, model, smpl, dataset=None, ckpt=None):
     dataset = dataset or make_dataset(cfg, "test", smpl=smpl)
-    params, _ = load_params(model_dir(cfg), cfg.test.epoch)
+    params = ckpt["params"] if ckpt is not None else load_params(
+        model_dir(cfg), cfg.test.epoch)[0]
     out_dir = os.path.join(result_dir(cfg), "perform")
     from ..registry import VISUALIZERS
 
@@ -307,9 +335,10 @@ def run_visualize(cfg, pipe, model, smpl, dataset=None):
         print("video:", v)
 
 
-def run_reconstruction(cfg, pipe, model, smpl, dataset=None):
+def run_reconstruction(cfg, pipe, model, smpl, dataset=None, ckpt=None):
     dataset = dataset or make_dataset(cfg, "test", smpl=smpl)
-    params, _ = load_params(model_dir(cfg), cfg.test.epoch)
+    params = ckpt["params"] if ckpt is not None else load_params(
+        model_dir(cfg), cfg.test.epoch)[0]
     out_dir = os.path.join(result_dir(cfg), "mesh")
     os.makedirs(out_dir, exist_ok=True)
     local_idx, _ = _frame_shard(dataset.frame_sampler_indices())
@@ -345,10 +374,10 @@ def main(argv=None, dataset=None, smpl=None):
     pe_table = ckpt.get("pe_table") if ckpt else None
     model, pipe, smpl, _ = build_runtime(cfg, smpl=smpl, pe_table=pe_table)
     if args.type == "evaluate":
-        return run_evaluate(cfg, pipe, model, smpl, dataset)
+        return run_evaluate(cfg, pipe, model, smpl, dataset, ckpt=ckpt)
     if args.type == "visualize":
-        return run_visualize(cfg, pipe, model, smpl, dataset)
-    return run_reconstruction(cfg, pipe, model, smpl, dataset)
+        return run_visualize(cfg, pipe, model, smpl, dataset, ckpt=ckpt)
+    return run_reconstruction(cfg, pipe, model, smpl, dataset, ckpt=ckpt)
 
 
 if __name__ == "__main__":

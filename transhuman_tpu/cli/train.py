@@ -48,16 +48,19 @@ def validate(cfg, dataset=None, smpl=None):
     branch that can run on val data is the non-patch masked MSE
     (if_nerf_clight.py:77-81), which is what this computes (`img_loss`).
     """
-    from ..train.checkpoint import load_params
     from .common import result_dir
     from .run import evaluate_frames, make_eval_lpips_fn
 
     cfg = cfg.merge_dict({"run_mode": "test", "perturb": 0.0})
     ckpt = load_checkpoint(model_dir(cfg), cfg.test.epoch)
-    pe_table = ckpt.get("pe_table") if ckpt else None
+    if ckpt is None:
+        raise FileNotFoundError(f"no checkpoint in {model_dir(cfg)}")
+    pe_table = ckpt.get("pe_table")
     model, pipe, smpl, _ = build_runtime(cfg, smpl=smpl, pe_table=pe_table)
     dataset = dataset or make_dataset(cfg, "test", smpl=smpl)
-    params, epoch = load_params(model_dir(cfg), cfg.test.epoch)
+    # reuse the already-unpickled checkpoint (a vit_base-scale pickle is
+    # hundreds of MB; load_params would read + unpickle it a second time)
+    params, epoch = ckpt["params"], ckpt["epoch"]
 
     from ..evals.evaluator import Evaluator  # noqa: F401  registers 'if_nerf'
 
@@ -113,7 +116,27 @@ def main(argv=None, dataset=None, smpl=None):
         mesh = make_mesh(cfg.mesh_axis_data or None)  # 0 = all devices
         sync_bn = ("batch", "data")
     n_dev = mesh.shape["data"]  # batch scales with the data axis only
-    model, pipe, smpl, cluster = build_runtime(cfg, axis_name=sync_bn, smpl=smpl)
+
+    # Load any resume checkpoint BEFORE building the runtime: a converted
+    # official checkpoint carries the reference-op-exact PE table
+    # (tools/convert_checkpoint.py --pe_table), and fine-tuning must run —
+    # and re-save — that table, not the decorrelated recomputed encoding
+    # (CLAUDE.md parity trap; the reference stores the PE as a buffer in its
+    # state_dict, so its fine-tunes keep it implicitly).
+    mdir = model_dir(cfg)
+    ckpt = load_checkpoint(mdir) if cfg.resume else None
+    if cfg.specified_resume:
+        ckpt = load_checkpoint(mdir, explicit_path=cfg.specified_resume)
+        if ckpt is None:
+            # silent fall-through would train from scratch and then
+            # OVERWRITE the existing checkpoints with random-init weights
+            raise FileNotFoundError(
+                f"specified_resume={cfg.specified_resume!r} does not exist"
+            )
+    pe_table = ckpt.get("pe_table") if ckpt else None
+    model, pipe, smpl, cluster = build_runtime(
+        cfg, axis_name=sync_bn, smpl=smpl, pe_table=pe_table
+    )
 
     lpips_fn = None
     if cfg.lpips_weights:
@@ -153,22 +176,22 @@ def main(argv=None, dataset=None, smpl=None):
         step_fn = TRAINERS.get(cfg.trainer)(pipe, tx, mesh=mesh, **step_kw)
 
     dataset = dataset or make_dataset(cfg, "train", smpl=smpl)
-    mdir = model_dir(cfg)
     # cfg.use_record gates the metrics stream only (the reference's
     # tensorboard writer gate, recorder.py:49); the console line always prints
     recorder = Recorder(cfg.record_dir, cfg.record_interval, cfg.log_interval,
                         enabled=jax.process_index() == 0 and cfg.use_record)
     checkpointer = AsyncCheckpointer()
 
-    # init / resume
+    # init / resume (ckpt loaded above, before build_runtime, for pe_table)
     start_epoch = 0
-    ckpt = load_checkpoint(mdir) if cfg.resume else None
-    if cfg.specified_resume:
-        ckpt = load_checkpoint(mdir, explicit_path=cfg.specified_resume)
     if ckpt is not None:
-        state = init_state(ckpt["params"], tx)
-        state = state.replace(
+        # direct construction: init_state would materialize throwaway Adam
+        # zeros for every parameter right before they are replaced
+        from ..train.step import TrainState
+
+        state = TrainState(
             step=jnp.asarray(ckpt.get("step", 0)),
+            params=jax.tree.map(jnp.asarray, ckpt["params"]),
             opt_state=jax.tree.map(jnp.asarray, ckpt["opt_state"]),
         )
         start_epoch = int(ckpt["epoch"]) + 1
@@ -252,7 +275,10 @@ def main(argv=None, dataset=None, smpl=None):
                 state, batch, jax.random.fold_in(rng0, epoch * cfg.ep_iter + it)
             )
             if profiling and it == prof_stop:
-                jax.block_until_ready(stats)
+                # forced scalar readback: block_until_ready does not
+                # reliably block through the axon tunnel (CLAUDE.md), and
+                # stop_trace would truncate the device trace
+                float(stats["loss"])
                 jax.profiler.stop_trace()
                 print(f"profiler trace (steps {prof_start}-{prof_stop}) "
                       f"written to {cfg.profile_dir}")
@@ -267,19 +293,25 @@ def main(argv=None, dataset=None, smpl=None):
                       + recorder.console_line(cfg.train.epoch * cfg.ep_iter, lr))
             recorder.record("train")
 
-        if jax.process_index() == 0:
-            payload = {
-                "params": state.params,
-                "opt_state": state.opt_state,
-                "step": int(state.step),
-                "recorder": recorder.state_dict(),
-            }
-            # async: only the device->host snapshot blocks; pickling + the
-            # atomic writes overlap the next epoch (train/checkpoint.py)
-            checkpointer.save(
-                mdir, payload, epoch,
-                save_epoch_copy=(epoch + 1) % cfg.save_freq == 0,
-            )
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": int(state.step),
+            "recorder": recorder.state_dict(),
+        }
+        if pe_table is not None:
+            # keep the converter-stored reference-op-exact PE table riding
+            # every checkpoint this run writes (fine-tune parity)
+            payload["pe_table"] = pe_table
+        # async: only the device->host snapshot blocks; pickling + the
+        # atomic writes overlap the next epoch (train/checkpoint.py).
+        # EVERY process calls save — snapshotting multi-host TP-sharded
+        # leaves is a collective — but only rank 0 writes files.
+        checkpointer.save(
+            mdir, payload, epoch,
+            save_epoch_copy=(epoch + 1) % cfg.save_freq == 0,
+            write=jax.process_index() == 0,
+        )
     checkpointer.wait()
     recorder.close()
     return state

@@ -90,7 +90,10 @@ def dataset_frames(cfg, n_frames: int):
     _, pipe, smpl, _ = build_runtime(cfg)
     dataset = ZJUDataset(cfg, "test", smpl=smpl)
     idx = dataset.frame_sampler_indices()[:n_frames]
-    bucket = max(cfg.pad_bucket, pipe.chunk_rays)
+    # ceil to a chunk multiple like cli/run.py::_make_render (pad_bucket
+    # need not divide chunk_rays evenly)
+    cr = pipe.chunk_rays
+    bucket = -(-max(cfg.pad_bucket, cr) // cr) * cr
     items = []
     for i in idx:
         it = dataset.get_eval_item(int(i))

@@ -82,14 +82,33 @@ class AsyncCheckpointer:
         self._pending = rest
 
     def save(self, model_dir: str, payload: dict, epoch: int,
-             save_epoch_copy: bool = True):
+             save_epoch_copy: bool = True, write: bool = True):
+        """write=False still snapshots (a no-op for host leaves) but skips
+        the file write — multi-host callers pass write=(rank == 0) and call
+        save on EVERY process, because fetching a non-fully-addressable
+        leaf (multi-host TP-sharded params/Adam moments) is a collective
+        all-gather that all processes must join."""
         self._drain(block=False)
+
         # snapshot NOW, with a forced copy: device_get is zero-copy for
         # host-resident leaves, and the caller (or a donating train step)
         # may overwrite the live buffers before the worker pickles them
-        data = jax.tree.map(
-            lambda x: np.array(jax.device_get(x)), dict(payload, epoch=epoch)
-        )
+        def fetch(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                # multi-host sharded leaf: replicate via an XLA all-gather
+                # (collective — every process must reach this line), after
+                # which the global value is host-readable everywhere
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                x = jax.jit(
+                    lambda a: a,
+                    out_shardings=NamedSharding(x.sharding.mesh, P()),
+                )(x)
+            return np.array(jax.device_get(x))
+
+        data = jax.tree.map(fetch, dict(payload, epoch=epoch))
+        if not write:
+            return
         self._pending.append(
             self._ex.submit(_write_blobs, model_dir, data, epoch, save_epoch_copy)
         )
