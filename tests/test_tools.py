@@ -32,3 +32,96 @@ def test_point_cloud_writer(tmp_path, rng):
 def test_param_count():
     tree = {"a": np.zeros((3, 4)), "b": {"c": np.zeros(5)}}
     assert param_count(tree) == 17
+
+
+def test_voxelize_flood_fill_excludes_interior_cavity():
+    """The vectorized exterior fill must mark enclosed interior cells as
+    occupied (inside) and open exterior cells as free."""
+    field = sphere_field(16, 5.0)
+    v, t = marching_tetrahedra(field, 0.0)
+    occ, origin = voxelize(v, t, voxel=0.5)
+    c = ((np.array([7.5] * 3) - origin) / 0.5).astype(int)
+    assert occ[c[0], c[1], c[2]] == 1  # cavity interior is occupied
+    assert occ[0, 0, 0] == 0  # corner exterior is free
+
+
+def test_rename_313_covers_mask_trees(tmp_path):
+    """Regression: the reference script renames images AND mask/mask_cihp
+    (modify_313_315_filename.py:4-9) — zju builds mask paths from the same
+    short stem."""
+    import os
+
+    from transhuman_tpu.tools.data_fixes import rename_313_315
+
+    long = "CoreView_313_1_Camera (3)_000042_2019.08.23_10:00:00.000"
+    for rel, ext in (
+        ("Camera (3)", ".jpg"),
+        ("mask/Camera (3)", ".png"),
+        ("mask_cihp/Camera (3)", ".png"),
+    ):
+        d = tmp_path / rel
+        d.mkdir(parents=True)
+        (d / (long + ext)).write_bytes(b"x")
+    n = rename_313_315(str(tmp_path))
+    assert n == 3
+    assert (tmp_path / "Camera (3)" / "000042.jpg").exists()
+    assert (tmp_path / "mask" / "Camera (3)" / "000042.png").exists()
+    assert (tmp_path / "mask_cihp" / "Camera (3)" / "000042.png").exists()
+
+
+def test_chumpy_free_smpl_pickle(tmp_path):
+    """load_smpl_pickle must unpickle raw chumpy SMPL downloads without
+    chumpy installed (clean_ch.py:32-47 semantics): fabricate a pickle whose
+    stream references chumpy.ch.Ch, then load it with the module absent."""
+    import pickle
+    import sys
+    import types
+
+    import numpy as np
+
+    mod = types.ModuleType("chumpy")
+    sub = types.ModuleType("chumpy.ch")
+
+    class Ch:  # data term in the instance dict under 'x', like chumpy.Ch
+        def __init__(self, x):
+            self.x = x
+
+    # pickle records classes by (__module__, __qualname__): make the stream
+    # reference chumpy.ch.Ch exactly like a real raw SMPL download
+    Ch.__module__ = "chumpy.ch"
+    Ch.__qualname__ = "Ch"
+    sub.Ch = Ch
+    mod.ch = sub
+    mod.Ch = Ch
+    sys.modules["chumpy"] = mod
+    sys.modules["chumpy.ch"] = sub
+    try:
+        arr = np.arange(12, dtype=np.float64).reshape(4, 3)
+        p = tmp_path / "smpl.pkl"
+        with open(p, "wb") as f:
+            pickle.dump({"v_template": Ch(arr), "f": np.zeros((2, 3))}, f)
+    finally:
+        del sys.modules["chumpy"], sys.modules["chumpy.ch"]
+
+    from transhuman_tpu.geometry.smpl import load_smpl_pickle
+
+    data = load_smpl_pickle(str(p))
+    np.testing.assert_array_equal(data["v_template"], arr)
+    assert isinstance(data["v_template"], np.ndarray)
+
+    # the cleansmpl tool writes a plain-numpy pickle loadable anywhere
+    from transhuman_tpu.tools.data_fixes import clean_smpl_pickle
+
+    out = clean_smpl_pickle(str(p), str(tmp_path / "out"))
+    with open(out, "rb") as f:
+        cleaned = pickle.load(f)
+    np.testing.assert_array_equal(cleaned["v_template"], arr)
+
+
+def test_varint_negative_terminates():
+    """Regression: protobuf varint of a negative int64 must be the 10-byte
+    two's complement, not an infinite loop (-1 >> 7 == -1)."""
+    from transhuman_tpu.utils.tb_writer import _varint
+
+    assert _varint(-1) == b"\xff" * 9 + b"\x01"
+    assert _varint(0) == b"\x00"

@@ -48,6 +48,49 @@ def rodrigues(r: np.ndarray) -> np.ndarray:
     return (ident + sin * K + (1 - cos) * np.matmul(K, K)).astype(np.float32)
 
 
+class _ChumpyStub:
+    """Absorbs chumpy classes during unpickling — chumpy is not in this
+    image, and the raw SMPL_NEUTRAL.pkl download stores v_template/
+    shapedirs/weights/... as chumpy.Ch objects whose data term lives in the
+    instance dict under 'x' (the reference strips them with
+    third_parties/clean_ch.py, which itself needs chumpy installed)."""
+
+    def __init__(self, *a, **k):
+        pass
+
+
+def _unchumpy(v):
+    if isinstance(v, _ChumpyStub):
+        x = v.__dict__.get("x")
+        if x is None:
+            raise ValueError(
+                "chumpy object without an 'x' data term — run the "
+                "reference's clean_ch.py on this pickle instead"
+            )
+        return np.asarray(x)
+    return v
+
+
+def load_smpl_pickle(path: str) -> dict:
+    """Load an SMPL pickle, chumpy-cleaned or raw.  Raw pickles reference
+    the chumpy module; a stub unpickler absorbs those classes and extracts
+    their numpy data terms (clean_ch.py:32-47 semantics, chumpy-free)."""
+
+    class _U(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module.split(".")[0] == "chumpy":
+                return _ChumpyStub
+            return super().find_class(module, name)
+
+    with open(path, "rb") as f:
+        try:
+            data = pickle.load(f, encoding="latin1")
+        except (ModuleNotFoundError, ImportError):
+            f.seek(0)
+            data = _U(f, encoding="latin1").load()
+    return {k: _unchumpy(v) for k, v in data.items()}
+
+
 @dataclass
 class SMPLModel:
     """Container for SMPL template assets (shapes as in the official pickle)."""
@@ -63,8 +106,7 @@ class SMPLModel:
     @classmethod
     def load(cls, model_dir: str, sex: str = "neutral") -> "SMPLModel":
         path = os.path.join(model_dir, _SEX_FILES[sex])
-        with open(path, "rb") as f:
-            data = pickle.load(f, encoding="latin1")
+        data = load_smpl_pickle(path)  # handles raw chumpy pickles too
         J_regressor = data["J_regressor"]
         if hasattr(J_regressor, "todense"):
             J_regressor = np.array(J_regressor.todense())

@@ -43,38 +43,33 @@ def voxelize(verts: np.ndarray, tris: np.ndarray, voxel: float = 0.005, pad: int
         idx = np.clip(((pts - lo) / voxel).astype(int), 0, dims - 1)
         occ[idx[:, 0], idx[:, 1], idx[:, 2]] = 1
 
-    # flood fill the exterior (6-connectivity BFS over the free space)
-    from collections import deque
-
+    # flood fill the exterior: 6-connected frontier dilation, fully
+    # vectorized (the previous per-voxel Python BFS took minutes on the
+    # ~7M-cell grids a human mesh yields at voxel=0.005); each pass expands
+    # the outside region one step along every axis until fixpoint —
+    # O(grid diameter) array passes instead of O(cells) Python iterations
+    free = occ == 0
     outside = np.zeros(dims, bool)
-    dq = deque()
-
-    def push(i, j, k):
-        if 0 <= i < dims[0] and 0 <= j < dims[1] and 0 <= k < dims[2]:
-            if not outside[i, j, k] and occ[i, j, k] == 0:
-                outside[i, j, k] = True
-                dq.append((i, j, k))
-
-    for i in range(dims[0]):
-        for j in range(dims[1]):
-            push(i, j, 0)
-            push(i, j, dims[2] - 1)
-    for i in range(dims[0]):
-        for k in range(dims[2]):
-            push(i, 0, k)
-            push(i, dims[1] - 1, k)
-    for j in range(dims[1]):
-        for k in range(dims[2]):
-            push(0, j, k)
-            push(dims[0] - 1, j, k)
-    while dq:
-        i, j, k = dq.popleft()
-        push(i - 1, j, k)
-        push(i + 1, j, k)
-        push(i, j - 1, k)
-        push(i, j + 1, k)
-        push(i, j, k - 1)
-        push(i, j, k + 1)
+    # seed: every free boundary cell
+    for axis in range(3):
+        sl0 = [slice(None)] * 3
+        sl1 = [slice(None)] * 3
+        sl0[axis] = 0
+        sl1[axis] = dims[axis] - 1
+        outside[tuple(sl0)] |= free[tuple(sl0)]
+        outside[tuple(sl1)] |= free[tuple(sl1)]
+    while True:
+        grown = outside.copy()
+        grown[1:, :, :] |= outside[:-1, :, :]
+        grown[:-1, :, :] |= outside[1:, :, :]
+        grown[:, 1:, :] |= outside[:, :-1, :]
+        grown[:, :-1, :] |= outside[:, 1:, :]
+        grown[:, :, 1:] |= outside[:, :, :-1]
+        grown[:, :, :-1] |= outside[:, :, 1:]
+        grown &= free
+        if (grown == outside).all():
+            break
+        outside = grown
 
     occupancy = (~outside).astype(np.uint8)
     return occupancy, lo

@@ -65,6 +65,10 @@ def masked_crc32c(data: bytes) -> int:
 # ------------------------------------------------------------- protobuf
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # protobuf encodes negative int64 as 10-byte two's complement; the
+        # unsigned loop below would never terminate (-1 >> 7 == -1)
+        n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F

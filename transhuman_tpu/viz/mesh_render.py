@@ -47,14 +47,17 @@ def render_mesh(verts, tris, K, R, T, hw):
         rgb = np.zeros((h, w, 3), np.float32)
         dep = np.zeros((h, w), np.float32)
         c_f = ctypes.POINTER(ctypes.c_float)
-        lib.rz_render(
+        rc = lib.rz_render(
             v.ctypes.data_as(c_f), ctypes.c_int64(len(v)),
             t.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), ctypes.c_int64(len(t)),
             Kf.ctypes.data_as(c_f), Rf.ctypes.data_as(c_f), Tf.ctypes.data_as(c_f),
             ctypes.c_int64(h), ctypes.c_int64(w),
             rgb.ctypes.data_as(c_f), dep.ctypes.data_as(c_f),
         )
-        return rgb, dep
+        if rc == 0:
+            return rgb, dep
+        # a failing backend must not ship silent black frames
+        print(f"WARNING: native rasterizer returned {rc}; using numpy path")
     return _render_np(v, t, Kf, Rf, Tf, hw)
 
 

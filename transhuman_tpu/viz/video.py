@@ -27,6 +27,13 @@ def frames_to_video(frame_dir: str, out_path: str, fps: int = 30) -> str:
                 w.append_data(imageio.imread(f))
         return out_path
     except Exception:
+        # imageio creates/truncates out_path before the first append; a
+        # partial mp4 next to the fallback avi would look like the artifact
+        if os.path.exists(out_path):
+            try:
+                os.remove(out_path)
+            except OSError:
+                pass
         from .avi import MJPGWriter
 
         def rgb(img):
