@@ -71,3 +71,34 @@ def test_loads_reference_yaml():
 def test_loads_all_reference_yamls():
     for name in os.listdir("/root/reference/configs"):
         Config.from_yaml(os.path.join("/root/reference/configs", name))
+
+
+def test_merge_type_mismatch_raises():
+    """yacs-parity type checking at merge time: scalar on a list field and
+    list on a float field must fail loudly, not corrupt the config."""
+    import pytest
+
+    from transhuman_tpu.config import Config
+
+    cfg = Config()
+    with pytest.raises(TypeError, match="trailing comma"):
+        cfg.merge_opts(["test.input_view", "3"])
+    with pytest.raises(TypeError, match="ratio"):
+        cfg.merge_opts(["ratio", "0,5"])
+    # int widens to float; list parses onto list fields
+    c2 = cfg.merge_opts(["ratio", "1", "test.input_view", "0,7,15"])
+    assert c2.ratio == 1.0 and list(c2.test.input_view) == [0, 7, 15]
+    # sections reject scalars
+    with pytest.raises(TypeError, match="section"):
+        cfg.merge_dict({"patch": 3})
+
+
+def test_dataset_passthrough_and_reference_aliases():
+    from transhuman_tpu.config import Config
+
+    cfg = Config()
+    assert cfg.merge_dict({"dataset": "h36m"}).dataset == "zju"
+    assert cfg.merge_dict({"dataset": "thu"}).dataset == "zju"
+    # unknown names pass through (fail loudly at registry lookup, not
+    # silently train on the zju loader)
+    assert cfg.merge_dict({"dataset": "mydata"}).dataset == "mydata"

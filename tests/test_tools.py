@@ -125,3 +125,42 @@ def test_varint_negative_terminates():
 
     assert _varint(-1) == b"\xff" * 9 + b"\x01"
     assert _varint(0) == b"\x00"
+
+
+def test_load_ply_rejects_bad_files(tmp_path):
+    """Regression: CRLF headers must parse; EOF-without-end_header must
+    raise instead of spinning forever on readline() == b''."""
+    import pytest
+
+    from transhuman_tpu.mesh_ops.ply import load_ply, save_ply
+
+    field = sphere_field(8, 2.5)
+    v, t = marching_tetrahedra(field, 0.0)
+    p = tmp_path / "m.ply"
+    save_ply(str(p), v, t)
+    raw = p.read_bytes()
+    head, _, body = raw.partition(b"end_header\n")
+    crlf = tmp_path / "crlf.ply"
+    crlf.write_bytes(head.replace(b"\n", b"\r\n") + b"end_header\r\n" + body)
+    v2, t2 = load_ply(str(crlf))
+    np.testing.assert_allclose(v2, v, atol=1e-6)
+
+    trunc = tmp_path / "trunc.ply"
+    trunc.write_bytes(b"ply\nformat binary_little_endian 1.0\n")  # no end
+    with pytest.raises(ValueError, match="no end_header"):
+        load_ply(str(trunc))
+    notply = tmp_path / "x.bin"
+    notply.write_bytes(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        load_ply(str(notply))
+
+
+def test_marching_empty_isosurface():
+    """Empty iso-surface is a valid (0,3)/(0,3) result, not MemoryError
+    (malloc(0) may return NULL on conforming platforms)."""
+    from transhuman_tpu.mesh_ops.marching import marching_tetrahedra
+
+    field = np.full((6, 6, 6), -1.0, np.float32)  # entirely below threshold
+    for use_native in (True, False):
+        v, t = marching_tetrahedra(field, 0.0, use_native=use_native)
+        assert v.shape == (0, 3) and t.shape == (0, 3)

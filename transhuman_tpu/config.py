@@ -307,13 +307,22 @@ def _merge_into(obj, d: dict):
         if k in _IGNORED_KEYS:
             continue
         k = _RENAMED_KEYS.get(k, k)
-        if k == "dataset" and isinstance(v, str) and v not in ("zju", "synthetic"):
-            # reference YAML uses dataset: zju/h36m/thu; map unknowns to zju layout
+        if k == "dataset" and isinstance(v, str) and v in ("h36m", "thu"):
+            # the reference YAML documents dataset: [zju | h36m | thu]
+            # (configs/train_or_eval.yaml:26) and all three load the zju
+            # layout; OTHER names pass through verbatim so a
+            # DATASETS.register'd custom dataset is honored and a typo
+            # fails loudly at registry lookup instead of silently
+            # training on the zju loader
             v = "zju"
         if k not in fields:
             raise KeyError(f"Unknown config key: {k!r}")
         cur = getattr(obj, k)
-        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+        if dataclasses.is_dataclass(cur):
+            if not isinstance(v, dict):
+                raise TypeError(
+                    f"config key {k!r} is a section; got scalar {v!r}"
+                )
             updates[k] = _merge_into(cur, v)
         else:
             if isinstance(v, str):
@@ -322,5 +331,28 @@ def _merge_into(obj, d: dict):
                 # the string "1,2", not [1, 2] (yacs would raise a type
                 # mismatch; keeping the string is the useful behavior)
                 v = v if isinstance(cur, str) else parsed
-            updates[k] = v
+            updates[k] = _check_type(k, cur, v)
     return dataclasses.replace(obj, **updates)
+
+
+def _check_type(key, cur, new):
+    """yacs-style merge type check (yacs.py _check_and_coerce_cfg_value_type
+    analog): silently replacing a list field with a scalar (or a float with
+    a list from a comma typo) corrupts the config far from the merge site.
+    int widens to float; None accepts anything (optional fields); list and
+    tuple interchange."""
+    if cur is None or new is None:
+        return new
+    if type(new) is type(cur):
+        return new
+    if isinstance(cur, float) and type(new) is int:
+        return float(new)
+    if isinstance(cur, (list, tuple)) and isinstance(new, (list, tuple)):
+        return type(cur)(new)
+    hint = ""
+    if isinstance(cur, (list, tuple)) and not isinstance(new, (list, tuple)):
+        hint = " (list field: a single value needs a trailing comma, e.g. '3,')"
+    raise TypeError(
+        f"config key {key!r}: expected {type(cur).__name__}, got "
+        f"{type(new).__name__} ({new!r}){hint}"
+    )

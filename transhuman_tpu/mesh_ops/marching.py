@@ -106,8 +106,15 @@ def _march_native(lib, grid: np.ndarray, threshold: float):
     )
     if rc != 0:
         raise MemoryError("mt_march failed")
-    verts = np.ctypeslib.as_array(vp, (nv.value, 3)).copy()
-    tris = np.ctypeslib.as_array(tp, (nt.value, 3)).copy()
+    # empty iso-surface: the C side returns NULL pointers with zero counts
+    verts = (
+        np.ctypeslib.as_array(vp, (nv.value, 3)).copy()
+        if nv.value else np.zeros((0, 3), np.float32)
+    )
+    tris = (
+        np.ctypeslib.as_array(tp, (nt.value, 3)).copy()
+        if nt.value else np.zeros((0, 3), np.int64)
+    )
     lib.mt_free(vp, tp)
     return verts, tris
 

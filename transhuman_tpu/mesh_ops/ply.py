@@ -33,8 +33,14 @@ def load_ply(path: str):
     tools minimally). Returns (vertices, faces)."""
     with open(path, "rb") as f:
         header = b""
-        while not header.endswith(b"end_header\n"):
-            header += f.readline()
+        # CRLF-tolerant; readline() returning b'' (EOF) must raise, not spin
+        while not header.replace(b"\r\n", b"\n").endswith(b"end_header\n"):
+            line = f.readline()
+            if not line:
+                raise ValueError(f"not a PLY file (no end_header): {path}")
+            header += line
+            if len(header) > 1 << 20:
+                raise ValueError(f"unreasonable PLY header (>1MB): {path}")
         lines = header.decode("ascii").splitlines()
         n_v = n_f = 0
         binary = any("binary_little_endian" in l for l in lines)

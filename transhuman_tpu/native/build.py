@@ -22,10 +22,20 @@ def lib_path(name: str) -> str:
 def build(name: str, verbose: bool = False) -> str:
     src = os.path.join(_DIR, SOURCES[name])
     out = lib_path(name)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", out]
+    # compile to a process-unique tmp then os.rename (atomic on POSIX):
+    # concurrent first-use builds (2-process jax.distributed runs, parallel
+    # test workers) would otherwise link into the SAME path and a sibling
+    # could CDLL a half-written ELF
+    tmp = f"{out}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", tmp]
     if verbose:
         print(" ".join(cmd))
-    subprocess.run(cmd, check=True)
+    try:
+        subprocess.run(cmd, check=True)
+        os.replace(tmp, out)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return out
 
 

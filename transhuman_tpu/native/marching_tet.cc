@@ -128,11 +128,25 @@ int mt_march(const float* grid, int64_t nx, int64_t ny, int64_t nz,
 
   *n_verts = static_cast<int64_t>(verts.size() / 3);
   *n_tris = static_cast<int64_t>(tris.size() / 3);
-  *out_verts = static_cast<float*>(std::malloc(verts.size() * sizeof(float)));
-  *out_tris = static_cast<int64_t*>(std::malloc(tris.size() * sizeof(int64_t)));
-  if (!*out_verts || !*out_tris) return 1;
-  std::memcpy(*out_verts, verts.data(), verts.size() * sizeof(float));
-  std::memcpy(*out_tris, tris.data(), tris.size() * sizeof(int64_t));
+  // empty iso-surface is a VALID result: malloc(0) may legally return NULL,
+  // which must not read as allocation failure; and a real failure of one
+  // buffer must free the other (mt_free would never run)
+  *out_verts = nullptr;
+  *out_tris = nullptr;
+  if (!verts.empty()) {
+    *out_verts = static_cast<float*>(std::malloc(verts.size() * sizeof(float)));
+    if (!*out_verts) return 1;
+    std::memcpy(*out_verts, verts.data(), verts.size() * sizeof(float));
+  }
+  if (!tris.empty()) {
+    *out_tris = static_cast<int64_t*>(std::malloc(tris.size() * sizeof(int64_t)));
+    if (!*out_tris) {
+      std::free(*out_verts);
+      *out_verts = nullptr;
+      return 1;
+    }
+    std::memcpy(*out_tris, tris.data(), tris.size() * sizeof(int64_t));
+  }
   return 0;
 }
 

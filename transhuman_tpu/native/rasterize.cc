@@ -81,6 +81,11 @@ int rz_render(const float* verts, int64_t nv, const int64_t* tris, int64_t nt,
                     flip * n[2] / nl * 0.5f + 0.5f};
 
     float iza = 1.f / za, izb = 1.f / zb, izc = 1.f / zc;
+    // coverage sampled at INTEGER (x, y): this codebase's convention puts
+    // pixel centers at integer coordinates (OpenCV projection; the ray
+    // generator and grid_sample(align_corners=True) sampling both treat
+    // integer coords as sample points), so integer-coord tests ARE
+    // pixel-center tests — do not add a +0.5 "center" offset here
     for (int64_t y = y0; y <= y1; ++y) {
       for (int64_t x = x0; x <= x1; ++x) {
         float w1 = ((bx - (float)x) * (cy - (float)y) -

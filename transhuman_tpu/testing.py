@@ -122,6 +122,12 @@ def jit_method(obj, method: str = "render_frame"):
     compilation cache only skips the XLA compile, not tracing/lowering).
     Keeps a strong reference to `obj` so the id() key stays valid for the
     process lifetime.
+
+    STALENESS HAZARD: attributes the method reads (e.g. pipe.compact_ratio)
+    are baked in at trace time; mutating `obj` afterwards and calling
+    jit_method again serves the OLD program.  Call jit_method_clear(obj)
+    after mutating, or jit the mutated object directly (the production
+    retune path, mesh_ops/reconstruct.py, rebuilds its own jit).
     """
     import jax
 
@@ -130,3 +136,13 @@ def jit_method(obj, method: str = "render_frame"):
     if hit is None:
         hit = _JIT_METHODS[key] = (obj, jax.jit(getattr(obj, method)))
     return hit[1]
+
+
+def jit_method_clear(obj=None):
+    """Drop jit_method cache entries for `obj` (all entries when None) —
+    required after mutating attributes a cached method traced over."""
+    if obj is None:
+        _JIT_METHODS.clear()
+        return
+    for k in [k for k in _JIT_METHODS if k[0] == id(obj)]:
+        del _JIT_METHODS[k]
