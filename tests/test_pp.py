@@ -132,6 +132,26 @@ def test_pp_composes_with_dp():
     )
 
 
+def test_pp_bf16_matches_unsharded():
+    """The flagship compute dtype: pipelined bf16 blocks == unsharded bf16
+    (same op order per token; tolerance covers scan-vs-unroll fusion)."""
+    model = TransHE(embed_dim=DIM, depth=DEPTH, num_heads=HEADS,
+                    dtype=jnp.bfloat16)
+    rng = np.random.default_rng(2)
+    tokens = jnp.asarray(rng.normal(size=(4, 6, DIM)), jnp.float32)
+    pe = jnp.asarray(rng.uniform(-1, 1, size=(4, 6, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), tokens, pe)["params"]
+    ref = model.apply({"params": params}, tokens, pe)
+    mesh = make_pp_mesh(2)
+    apply = make_pp_vit_apply(model, mesh, 2)
+    pp = shard_pp_params(mesh, stack_block_params(params, 2))
+    got = jax.jit(apply)(pp, tokens, pe)
+    assert got.dtype == ref.dtype
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=3e-2
+    )
+
+
 def test_pp_stage_params_actually_sharded():
     model, params, _, _ = _setup()
     mesh = make_pp_mesh(4)
