@@ -44,8 +44,8 @@ def main(n_steps: int = 30):
     sample0 = ds.get_train_sample(0)
     params = init_params(model, sample0.frame, cluster.num_clusters,
                          jax.random.PRNGKey(cfg.seed))
-    tx, schedule = make_optimizer(lr=5e-4, warmup_epochs=1,
-                                  decay_epochs=10**6, iters_per_epoch=10**6)
+    tx, _ = make_optimizer(lr=5e-4, warmup_epochs=1,
+                           decay_epochs=10**6, iters_per_epoch=10**6)
     step = make_train_step(pipe, tx, donate=False)
     state = init_state(params, tx)
 

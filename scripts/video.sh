@@ -16,6 +16,11 @@ test_mode='model_o_motion_x'     # [model_o_motion_o | model_o_motion_x | model_
 
 LOG_DIR="./data/result/transhuman/${EXP_NAME}"
 mkdir -p "${LOG_DIR}"
+# unique per invocation: a fixed path raced concurrent runs of the same
+# EXP_NAME (one run reading the other's status) and a stale file could
+# report success after a SIGKILL
+EXIT_FILE="${LOG_DIR}/.exit_code.$$"
+rm -f "${EXIT_FILE}"
 
 ( set +e; python -m transhuman_tpu.cli.run --type visualize --cfg_file configs/performance.yaml \
     run_mode test \
@@ -26,8 +31,10 @@ mkdir -p "${LOG_DIR}"
     test.epoch "${EPOCH}" \
     test.exp_folder_name "performance_${test_mode}" \
     test.full_eval True \
-    2>&1; echo $? > "${LOG_DIR}/.exit_code" ) \
+    2>&1; echo $? > "${EXIT_FILE}" ) \
     | tee "${LOG_DIR}/log_E${EPOCH}_${test_mode}.txt"
 # a plain pipeline returns tee's status, defeating set -e on a python
 # failure; the subshell writes the real exit code, propagated here
-exit "$(cat "${LOG_DIR}/.exit_code")"
+RC="$(cat "${EXIT_FILE}" 2>/dev/null || echo 1)"
+rm -f "${EXIT_FILE}"
+exit "${RC}"

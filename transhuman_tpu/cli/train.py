@@ -251,8 +251,9 @@ def main(argv=None, dataset=None, smpl=None):
         batches = Loader(
             fetch_batch,
             range(cfg.ep_iter),
-            # num_workers<=0 -> Loader's synchronous single-thread path
-            num_workers=(1 if cfg.train.num_workers <= 0
+            # num_workers<=0 -> Loader's synchronous path (0); otherwise
+            # threaded with a +1 cushion like the reference's worker count
+            num_workers=(0 if cfg.train.num_workers <= 0
                          else cfg.train.num_workers + 1),
             prefetch=2,
         )

@@ -11,7 +11,7 @@ the index list regardless of completion order.
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Iterable, Iterator, Sequence
+from typing import Callable, Iterator, Sequence
 
 
 class Loader:
@@ -24,14 +24,19 @@ class Loader:
     ):
         self.fetch = fetch
         self.indices = list(indices)
-        self.num_workers = max(1, num_workers)
+        # 0 = fully synchronous (fetch inline in the consumer thread);
+        # >= 1 = that many worker threads with `prefetch` buffered items
+        # (num_workers=1 previously fell through to the synchronous path,
+        # silently ignoring prefetch — the reference's num_workers=1
+        # DataLoader still overlaps via its one worker process)
+        self.num_workers = max(0, num_workers)
         self.prefetch = max(1, prefetch)
 
     def __len__(self):
         return len(self.indices)
 
     def __iter__(self) -> Iterator:
-        if self.num_workers == 1:
+        if self.num_workers == 0:
             for i in self.indices:
                 yield self.fetch(i)
             return
@@ -40,7 +45,8 @@ class Loader:
         # parallelism at prefetch (measured: a 5-worker/2-prefetch loader ran
         # ~2-wide and left the train step 97% input-bound at 512x512 scale)
         in_flight = self.num_workers + self.prefetch
-        with ThreadPoolExecutor(self.num_workers) as pool:
+        pool = ThreadPoolExecutor(self.num_workers)
+        try:
             pending = []
             it = iter(self.indices)
             try:
@@ -55,13 +61,9 @@ class Loader:
                 except StopIteration:
                     pass
                 yield fut.result()
+        finally:
+            # early consumer exit (KeyboardInterrupt, a raising train step):
+            # cancel queued fetches instead of letting up to
+            # num_workers+prefetch decodes/device_puts run to completion
+            pool.shutdown(wait=False, cancel_futures=True)
 
-
-def batched(iterable: Iterable, n: int):
-    """Group an iterable into lists of n (last partial group dropped)."""
-    buf = []
-    for x in iterable:
-        buf.append(x)
-        if len(buf) == n:
-            yield buf
-            buf = []
