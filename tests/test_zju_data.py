@@ -356,3 +356,33 @@ def test_loader_keeps_workers_busy():
     out = list(Loader(fetch, range(24), num_workers=4, prefetch=2))
     assert out == list(range(24))  # order preserved
     assert peak >= 4, f"only {peak} fetches ever ran concurrently"
+
+
+def test_loader_early_exit_cancels_queue():
+    """Breaking out of a Loader iteration must cancel queued fetches (the
+    teardown once ran every in-flight decode to completion after a
+    KeyboardInterrupt) and num_workers=1 must still overlap via a worker
+    thread instead of silently ignoring prefetch."""
+    import threading
+    import time
+
+    started = []
+
+    def fetch(i):
+        started.append(i)
+        time.sleep(0.05)
+        return i
+
+    it = iter(Loader(fetch, range(50), num_workers=2, prefetch=2))
+    assert next(it) == 0
+    it.close()  # generator teardown = early consumer exit
+    time.sleep(0.3)  # give any (wrongly) surviving queue time to drain
+    assert len(started) <= 10, f"{len(started)} fetches ran after close"
+
+    # num_workers=1: fetches run on a WORKER thread (overlap), not inline
+    main = threading.get_ident()
+    tids = set()
+    out = list(Loader(lambda i: tids.add(threading.get_ident()) or i,
+                      range(4), num_workers=1, prefetch=2))
+    assert out == [0, 1, 2, 3]
+    assert main not in tids
