@@ -294,3 +294,20 @@ def test_one_shot_single_input_view(setup):
     assert all(
         np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g)
     )
+
+
+def test_compact_pipe_dense_fallback_equals_pure_dense(setup):
+    """The compaction-enabled pipe's dense fallback applies the cluster
+    prefilter for compact-vs-dense consistency-by-construction; in exact
+    (f32/CPU) arithmetic the prefilter is a superset of the cull, so the
+    fallback must be BITWISE equal to a pure-dense pipe's render (any
+    difference would mean the 'conservative' prefilter dropped a culled-in
+    point — the invariant the bf16 consistency argument rests on)."""
+    pipe, params, frame, rays = setup
+    pure = J(pipe, "render_frame_dense")(params, frame, rays)
+    c = RenderPipeline.__new__(RenderPipeline)
+    c.__dict__.update(pipe.__dict__)
+    c.compact_ratio = 0.9
+    fallback = J(c, "render_frame_dense")(params, frame, rays)
+    for k in ("rgb_map", "acc_map", "depth_map"):
+        np.testing.assert_array_equal(np.asarray(fallback[k]), np.asarray(pure[k]))
