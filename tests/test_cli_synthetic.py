@@ -58,3 +58,44 @@ def test_synthetic_train_tensor_parallel(tmp_path):
 
     summary = run_cli.main(["--type", "evaluate"] + argv)
     assert summary["psnr"] is not None and np.isfinite(summary["psnr"])
+
+
+def test_weights_only_checkpoint_fine_tune(tmp_path):
+    """Fine-tuning from a CONVERTED official checkpoint (weights + pe_table,
+    NO opt_state — tools/convert_checkpoint.py's payload): the optimizer
+    state starts fresh instead of KeyError, the pe_table is threaded into
+    the runtime, and every checkpoint the run writes carries it onward."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    from transhuman_tpu.cli import train as train_cli
+
+    argv = _argv(tmp_path)
+    state = train_cli.main(argv)  # epoch 0 baseline run to get real params
+
+    # cli.common.model_dir layout: trained_model_dir / task / exp_name
+    mdir = tmp_path / "model" / "transhuman" / "transhuman_tpu"
+    with open(mdir / "latest.ckpt", "rb") as f:
+        full = pickle.load(f)
+    # (C, D) like RenderPipeline.pe_can: C=num_class 8, D=192 (vit tiny)
+    pe = (np.arange(8 * 192, dtype=np.float32).reshape(8, 192) % 7) * 0.1
+    converted = {"params": full["params"], "epoch": 0, "pe_table": pe}
+    conv_path = tmp_path / "converted.ckpt"
+    with open(conv_path, "wb") as f:
+        pickle.dump(converted, f)
+
+    state2 = train_cli.main(
+        argv + ["specified_resume", str(conv_path), "train.epoch", "2"]
+    )
+    assert int(state2.step) >= 1
+    with open(mdir / "latest.ckpt", "rb") as f:
+        saved = pickle.load(f)
+    assert "opt_state" in saved  # full state saved by the fine-tune
+    np.testing.assert_array_equal(saved["pe_table"], pe)  # table rides along
+
+    # a typo'd explicit resume path must fail loudly, never fresh-init
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="specified_resume"):
+        train_cli.main(argv + ["specified_resume", str(tmp_path / "nope.ckpt")])

@@ -250,10 +250,16 @@ def evaluate_frames(cfg, pipe, params, dataset, ev, per_frame=None, tag=""):
         # (skipping them left per-process-local means when any rank had 0
         # frames).  Agree on the key UNION first via a fixed-width allgather
         # so all ranks issue the same collective sequence.
-        blob = ",".join(sorted(extra_vals)).encode()[:256].ljust(256, b"\0")
+        joined = ",".join(sorted(extra_vals)).encode()
+        if len(joined) > 4096:
+            # silent truncation would drop metrics / inject partial keys
+            raise ValueError(
+                f"extra-stat key list too long to gather ({len(joined)} B)"
+            )
+        blob = joined.ljust(4096, b"\0")
         all_blobs = np.asarray(
             mh.process_allgather(np.frombuffer(blob, np.uint8))
-        ).reshape(-1, 256)
+        ).reshape(-1, 4096)
         union = sorted({
             name
             for row in all_blobs

@@ -189,10 +189,19 @@ def main(argv=None, dataset=None, smpl=None):
         # zeros for every parameter right before they are replaced
         from ..train.step import TrainState
 
+        params = jax.tree.map(jnp.asarray, ckpt["params"])
+        if "opt_state" in ckpt:
+            opt_state = jax.tree.map(jnp.asarray, ckpt["opt_state"])
+        else:
+            # weights-only checkpoint (a CONVERTED official .pth carries no
+            # optimizer state): fresh Adam moments, fine-tune from step 0
+            print("checkpoint has no opt_state (weights-only / converted): "
+                  "starting optimizer state fresh")
+            opt_state = tx.init(params)
         state = TrainState(
             step=jnp.asarray(ckpt.get("step", 0)),
-            params=jax.tree.map(jnp.asarray, ckpt["params"]),
-            opt_state=jax.tree.map(jnp.asarray, ckpt["opt_state"]),
+            params=params,
+            opt_state=opt_state,
         )
         start_epoch = int(ckpt["epoch"]) + 1
         recorder.load_state_dict(ckpt.get("recorder", {}))

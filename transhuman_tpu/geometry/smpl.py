@@ -82,12 +82,13 @@ def load_smpl_pickle(path: str) -> dict:
                 return _ChumpyStub
             return super().find_class(module, name)
 
+    # ALWAYS the stub unpickler (it falls through for non-chumpy modules,
+    # so cleaned pickles load identically): a plain pickle.load would
+    # succeed in environments where chumpy IS installed and hand back real
+    # Ch objects that _unchumpy cannot see — cleansmpl would then write a
+    # 'cleaned' pickle still carrying chumpy objects
     with open(path, "rb") as f:
-        try:
-            data = pickle.load(f, encoding="latin1")
-        except (ModuleNotFoundError, ImportError):
-            f.seek(0)
-            data = _U(f, encoding="latin1").load()
+        data = _U(f, encoding="latin1").load()
     return {k: _unchumpy(v) for k, v in data.items()}
 
 

@@ -249,7 +249,14 @@ class RenderPipeline:
             .at[self.cull_assign]
             .max(vd)
         )
-        return centers, (radii + self.cull_distance) ** 2
+        # +0.1 mm: the superset property (cull-pass => some prefilter ball
+        # contains the point) holds exactly in real arithmetic but f32
+        # rounding of the expanded-form d2 (~1e-6 at these magnitudes) could
+        # break it at a hairline boundary; the margin dwarfs the rounding
+        # while admitting ~zero extra survivors.  A wrongly-admitted point
+        # is FREE in output terms: the exact in-chunk cull zeroes its raw,
+        # and a raw=0 stream slot composites as transmittance exactly 1.
+        return centers, (radii + self.cull_distance + 1e-4) ** 2
 
     def _prefilter_chunk(self, frame, c_pts, centers, thresh2):
         from ..ops.knn import pairwise_dist2

@@ -27,6 +27,17 @@ def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _replicator(sharding):
+    """One cached jitted identity per target sharding: a fresh jit lambda
+    per leaf per save would re-trace (and through the tunnel, re-compile)
+    one collective for every param/mu/nu leaf on every epoch."""
+    return jax.jit(lambda a: a, out_shardings=sharding)
+
+
 def _write_blobs(model_dir: str, data: dict, epoch: int, save_epoch_copy: bool):
     os.makedirs(model_dir, exist_ok=True)
     blob = pickle.dumps(data, protocol=pickle.HIGHEST_PROTOCOL)
@@ -94,16 +105,17 @@ class AsyncCheckpointer:
         # host-resident leaves, and the caller (or a donating train step)
         # may overwrite the live buffers before the worker pickles them
         def fetch(x):
-            if isinstance(x, jax.Array) and not x.is_fully_addressable:
-                # multi-host sharded leaf: replicate via an XLA all-gather
-                # (collective — every process must reach this line), after
-                # which the global value is host-readable everywhere
+            if (isinstance(x, jax.Array) and not x.is_fully_addressable
+                    and not x.is_fully_replicated):
+                # multi-host SHARDED leaf: replicate via an XLA all-gather
+                # (collective — every process must reach this line; the
+                # replicated/sharded split is a global property, so all
+                # ranks branch identically), after which the global value
+                # is host-readable everywhere.  Replicated-but-remote
+                # leaves skip this: device_get reads them directly.
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                x = jax.jit(
-                    lambda a: a,
-                    out_shardings=NamedSharding(x.sharding.mesh, P()),
-                )(x)
+                x = _replicator(NamedSharding(x.sharding.mesh, P()))(x)
             return np.array(jax.device_get(x))
 
         data = jax.tree.map(fetch, dict(payload, epoch=epoch))
