@@ -42,6 +42,47 @@ def test_lru_reput_refreshes_recency():
     assert c.get("b") is None and c.get("a") is not None
 
 
+def test_lru_running_byte_counter_on_overwrite():
+    """put() keeps a running byte total (no O(n) rescans); overwriting a key
+    with a smaller value must free budget and with a larger one consume it."""
+    c = ByteLRU(max_bytes=10 * 8)
+    c.put("big", np.zeros(8))
+    c.put("x", np.zeros(1))
+    c.put("big", np.zeros(1))  # shrink: 8 slots freed
+    assert c._total == 2 * 8
+    for i in range(8):
+        c.put(i, np.zeros(1))
+    assert len(c) == 10 and c._total == 10 * 8
+    c.put("grow", np.zeros(5))  # 5 slots over -> evict oldest 5 entries
+    assert c._total <= 10 * 8
+    assert c._total == sum(v.nbytes for v in c._d.values())
+
+
+def test_jit_method_rekeys_on_scalar_attr_change():
+    """testing.jit_method includes scalar attributes in the cache key, so a
+    mutate-flag-then-call pattern gets a fresh trace (advisor hazard)."""
+    import jax.numpy as jnp
+
+    from transhuman_tpu.testing import jit_method
+
+    class P:
+        def __init__(self):
+            self.scale = 2.0
+
+        def f(self, x):
+            return x * self.scale
+
+    p = P()
+    f1 = jit_method(p, "f")
+    assert float(f1(jnp.float32(3.0))) == 6.0
+    p.scale = 5.0
+    f2 = jit_method(p, "f")
+    assert f2 is not f1
+    assert float(f2(jnp.float32(3.0))) == 15.0
+    p.scale = 2.0
+    assert jit_method(p, "f") is f1  # old snapshot key still cached
+
+
 def test_lru_thread_safety_smoke():
     c = ByteLRU(max_bytes=64)
     errs = []

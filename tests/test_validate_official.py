@@ -108,6 +108,32 @@ def test_compare_fails_on_unmatched_expected_protocol():
     assert bad and "was not run" in bad[0]["error"]
 
 
+def test_expected_template_schema():
+    """The committed --expected template parses, its '_'-doc keys are
+    skipped by compare(), and its 0.0 placeholders FAIL loudly if passed
+    unedited (every protocol present, so nothing silently skips)."""
+    import json
+
+    from transhuman_tpu.tools.validate_official import (
+        DEFAULT_TOL, PROTOCOLS, compare)
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "configs",
+                           "expected_official.template.json")) as f:
+        tpl = json.load(f)
+    labels = {k for k in tpl if not k.startswith("_")}
+    assert labels == {r[0] for r in PROTOCOLS}
+    summaries = {lab: {"psnr": 30.0, "ssim": 0.95, "lpips": 0.08, "mse": 1e-3}
+                 for lab in labels}
+    rows, ok = compare(summaries, tpl, DEFAULT_TOL)
+    assert not ok  # placeholders differ from any real run
+    # the '_comment' key must not appear as a FAIL row
+    assert not any(r["protocol"].startswith("_") for r in rows)
+    # a filled-in template passes
+    rows, ok = compare(summaries, {lab: dict(summaries[lab]) for lab in labels},
+                       DEFAULT_TOL)
+    assert ok
+
+
 @pytest.fixture(scope="module")
 def runbook_assets(fake_zju, tmp_path_factory):  # noqa: F811
     cfg0, smpl, info = fake_zju

@@ -102,7 +102,10 @@ class FrameRenderer:
             # forced scalar readback, not just block_until_ready: the latter
             # does not reliably block through the axon TPU tunnel (CLAUDE.md)
             # and stop_trace would truncate the device trace
-            float(np.asarray(out["rgb_map"])[0, 0])
+            # scalar-index on device first: np.asarray(rgb_map) would pull
+            # the whole eval-resolution buffer through the ~20-25 ms/MB
+            # axon tunnel when only a completion fence is needed
+            float(jax.device_get(out["rgb_map"][0, 0]))
             jax.profiler.stop_trace()
             print(f"profiler trace (frame 3) written to {self._profile_dir}")
         n = eval_rays.rays.ray_o.shape[0]

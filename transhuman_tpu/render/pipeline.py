@@ -465,7 +465,11 @@ class RenderPipeline:
         r = rays.ray_o.shape[0]
         s = self.n_samples
         cr = self.chunk_rays
-        assert r % cr == 0, f"ray count {r} must be padded to a multiple of {cr}"
+        if r % cr != 0:  # ValueError, not assert: survives python -O
+            raise ValueError(
+                f"ray count {r} must be padded to a multiple of chunk_rays="
+                f"{cr} (use pad_rays)"
+            )
         n_chunks = r // cr
 
         pro = self.prologue(params, frame)
@@ -555,7 +559,11 @@ class RenderPipeline:
                 "render_frame_dense / compact_ratio=None for n_samples=1"
             )
         cr = self.chunk_rays
-        assert r % cr == 0, f"ray count {r} must be padded to a multiple of {cr}"
+        if r % cr != 0:
+            raise ValueError(
+                f"ray count {r} must be padded to a multiple of chunk_rays="
+                f"{cr} (use pad_rays)"
+            )
         n = r * s
         cp = cr * s  # points per decode chunk
 
@@ -680,7 +688,8 @@ class RenderPipeline:
         """
         n = pts_world.shape[0]
         cp = self.chunk_rays * self.n_samples  # points per chunk
-        assert n % cp == 0, f"{n} not a multiple of chunk {cp}"
+        if n % cp != 0:
+            raise ValueError(f"point count {n} not a multiple of chunk {cp}")
         if self.compact_ratio is None:
             return self.render_sigma_dense(params, frame, pts_world, pts_mask)
         pro = self.prologue(params, frame)
@@ -720,7 +729,8 @@ class RenderPipeline:
         overflow = 0)."""
         n = pts_world.shape[0]
         cp = self.chunk_rays * self.n_samples
-        assert n % cp == 0, f"{n} not a multiple of chunk {cp}"
+        if n % cp != 0:
+            raise ValueError(f"point count {n} not a multiple of chunk {cp}")
         pro = self.prologue(params, frame)
         vde = jnp.zeros((cp, 6 * self.view_freqs + 3), pts_world.dtype)
         # same consistency-by-construction prefilter as render_frame_dense:

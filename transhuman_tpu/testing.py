@@ -111,36 +111,72 @@ def init_params(model: TransHumanNet, frame: FrameInputs, n_clusters: int, key):
     )
 
 
-_JIT_METHODS: dict = {}
+_JIT_METHODS: "OrderedDict" = None  # created lazily (collections import below)
+_JIT_METHODS_CAP = 64  # bound on pinned (obj, program) pairs per process
+
+
+def _attr_snapshot(obj) -> tuple:
+    """Hashable snapshot of the plain-scalar attributes of `obj`.
+
+    Any attribute a jitted method reads at trace time that is a python
+    scalar (compact_ratio, remat, chunk_rays, n_samples, white_bkgd, ...)
+    lands in the cache key, so mutating it and calling jit_method again
+    structurally CANNOT serve the stale program (the advisor's
+    `pipe.remat = True` hazard).  Non-scalar attrs (arrays, the model) are
+    excluded — tests never mutate those in place."""
+    items = []
+    for k, v in sorted(vars(obj).items()):
+        if isinstance(v, (int, float, bool, str, bytes, type(None))):
+            items.append((k, v))
+    return tuple(items)
 
 
 def jit_method(obj, method: str = "render_frame"):
-    """jax.jit(getattr(obj, method)) memoized per (obj, method).
+    """jax.jit(getattr(obj, method)) memoized per (obj, method, scalar attrs).
 
     For test suites that render many pipeline variants: re-tracing an
     identical program per call site dominates wall time (a persistent
     compilation cache only skips the XLA compile, not tracing/lowering).
-    Keeps a strong reference to `obj` so the id() key stays valid for the
-    process lifetime.
 
-    STALENESS HAZARD: attributes the method reads (e.g. pipe.compact_ratio)
-    are baked in at trace time; mutating `obj` afterwards and calling
-    jit_method again serves the OLD program.  Call jit_method_clear(obj)
-    after mutating, or jit the mutated object directly (the production
-    retune path, mesh_ops/reconstruct.py, rebuilds its own jit).
+    Scalar attributes of `obj` are part of the cache key (see
+    _attr_snapshot), so the common mutate-a-flag-then-rerender pattern gets
+    a fresh trace automatically.  Mutating a NON-scalar attribute in place
+    (an array, the model) still requires jit_method_clear(obj).  The cache
+    is LRU-bounded at 64 entries so a long pytest session cannot pin every
+    pipeline (and its traced constants) for the process lifetime.
     """
     import jax
 
-    key = (id(obj), method)
+    global _JIT_METHODS
+    if _JIT_METHODS is None:
+        from collections import OrderedDict
+
+        _JIT_METHODS = OrderedDict()
+    key = (id(obj), method, _attr_snapshot(obj))
     hit = _JIT_METHODS.get(key)
     if hit is None:
-        hit = _JIT_METHODS[key] = (obj, jax.jit(getattr(obj, method)))
+        bound = getattr(obj, method)
+
+        # fresh closure per cache entry: jax's pjit trace cache keys on
+        # function EQUALITY, and bound methods of the same (obj, method)
+        # compare equal — jitting the bound method directly would silently
+        # share the stale trace across snapshot keys
+        def _call(*a, _bound=bound, **k):
+            return _bound(*a, **k)
+
+        hit = _JIT_METHODS[key] = (obj, jax.jit(_call))
+    _JIT_METHODS.move_to_end(key)
+    while len(_JIT_METHODS) > _JIT_METHODS_CAP:
+        _JIT_METHODS.popitem(last=False)
     return hit[1]
 
 
 def jit_method_clear(obj=None):
     """Drop jit_method cache entries for `obj` (all entries when None) —
-    required after mutating attributes a cached method traced over."""
+    required after mutating non-scalar attributes a cached method traced
+    over (scalar-attr mutations re-key automatically)."""
+    if _JIT_METHODS is None:
+        return
     if obj is None:
         _JIT_METHODS.clear()
         return

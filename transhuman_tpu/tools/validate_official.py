@@ -128,8 +128,11 @@ def compare(summaries, expected, tol):
     rows, ok = [], True
     # an expected protocol that matched NO run must FAIL, not silently pass
     # (a typo'd key or a --protocols exclusion would otherwise report
-    # "PARITY: PASS" with zero comparisons made)
+    # "PARITY: PASS" with zero comparisons made).  '_'-prefixed keys are
+    # documentation (configs/expected_official.template.json), skipped.
     for label in expected or {}:
+        if label.startswith("_"):
+            continue
         if label not in summaries:
             rows.append({"protocol": label, "verdict": "FAIL",
                          "error": "expected protocol was not run "

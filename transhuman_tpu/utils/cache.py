@@ -53,6 +53,10 @@ class ByteLRU:
         self.max_bytes = int(max_bytes)
         self._d: "OrderedDict" = OrderedDict()
         self._lock = Lock()
+        # running byte total maintained on insert/evict/overwrite: put() is
+        # O(evictions), not O(entries) — Loader worker threads serialize on
+        # this lock and a full rescan per insert was O(n) with multi-MB values
+        self._total = 0
 
     def get(self, key):
         with self._lock:
@@ -63,18 +67,22 @@ class ByteLRU:
 
     def put(self, key, value):
         _freeze(value)
+        nb = _nbytes(value)
         with self._lock:
+            old = self._d.pop(key, None)
+            if old is not None:
+                self._total -= _nbytes(old)
             self._d[key] = value
-            self._d.move_to_end(key)
-            total = sum(_nbytes(v) for v in self._d.values())
-            while total > self.max_bytes and len(self._d) > 1:
+            self._total += nb
+            while self._total > self.max_bytes and len(self._d) > 1:
                 _, v = self._d.popitem(last=False)  # oldest first
-                total -= _nbytes(v)
+                self._total -= _nbytes(v)
         return value
 
     def clear(self):
         with self._lock:
             self._d.clear()
+            self._total = 0
 
     def __len__(self):
         with self._lock:
