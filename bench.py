@@ -29,6 +29,7 @@ train-step time and the baseline provenance:
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -43,6 +44,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REFERENCE_RAYS_PER_SEC = 50_000.0  # estimate — see module docstring
 REFERENCE_TRAIN_STEP_SEC = 0.6  # estimate — see module docstring
 
+# TPU v5e single-chip peaks (public spec: 197 bf16 TFLOP/s, 819 GB/s HBM).
+# MFU/roofline denominators for the fields below; docs/PERF.md carries the
+# roofline table these feed.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_HBM_BYTES = 819e9
+
 N_RAYS = 65_536
 N_SAMPLES = 64
 CHUNK_RAYS = 512  # 32768 points/chunk, the reference chunk size; fastest measured
@@ -52,6 +59,37 @@ COMPACT_RATIO = 0.1875  # static-capacity compaction (render/pipeline.py):
 # (fixed-seed) workload (exact cull 15.1%), so 0.1875 keeps ~9% headroom —
 # deterministic rays make that safe — and the overflow assert below
 # guarantees the output is identical to the uncompacted path
+
+
+def _cost_analysis(jitted, *args):
+    """(flops, hbm_bytes) of the exact compiled executable being timed,
+    from XLA's HloCostAnalysis (an analytic count over the optimized HLO:
+    matmul/conv FLOPs by shape arithmetic; bytes-accessed as operand +
+    output buffer traffic per op, post-fusion).  The persistent compile
+    cache makes the .lower().compile() a cache hit of the program the
+    timing loop runs.  Returns (None, None) where the backend does not
+    expose cost analysis."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception as e:  # pragma: no cover - platform-dependent
+        print(f"NOTE: cost_analysis unavailable ({e})", file=sys.stderr)
+        return None, None
+
+
+def _roofline_fields(prefix, seconds, flops, hbm_bytes):
+    """MFU + HBM-utilization JSON fields for one measured program."""
+    if flops is None or seconds is None:
+        return {}
+    return {
+        f"mfu_{prefix}": round(flops / seconds / V5E_PEAK_BF16_FLOPS, 4),
+        f"hbm_util_{prefix}": round(
+            hbm_bytes / seconds / V5E_PEAK_HBM_BYTES, 4),
+        f"{prefix}_tflops": round(flops / 1e12, 3),
+        f"{prefix}_hbm_gb": round(hbm_bytes / 1e9, 3),
+    }
 
 
 def bench_render():
@@ -101,7 +139,8 @@ def bench_render():
         prev = out
     float(jnp.sum(prev["acc_map"]))
     dt = (time.perf_counter() - t0) / n_iters
-    return N_RAYS / dt
+    flops, hbm = _cost_analysis(render, params, frame, rays)
+    return N_RAYS / dt, dt, flops, hbm
 
 
 def bench_train_step():
@@ -159,26 +198,89 @@ def bench_train_step():
             )
         float(stats["loss"])  # tail readback drains the tunnel queue
         times.append((time.perf_counter() - t0) / n_chain)
-    return float(np.median(times))
+    flops, hbm = _cost_analysis(
+        step, state, batch, jax.random.PRNGKey(2))
+    return float(np.median(times)), flops, hbm
+
+
+def bench_eval_protocol(n_frames=6):
+    """End-to-end eval-loop throughput (frames/s): host input path +
+    pipelined render with overflow auto-recovery + PSNR/SSIM metrics +
+    image dumps — the cli/run.py evaluate loop itself, on the synthetic
+    512x512 dataset (the kernel bench above is blind to host-path
+    regressions; this field is the guard).  Timed on a second pass so the
+    first pass absorbs compiles."""
+    import contextlib
+    import tempfile
+
+    from transhuman_tpu.cli.run import evaluate_frames
+    from transhuman_tpu.config import Config
+    from transhuman_tpu.data.synthetic import SyntheticDataset
+    from transhuman_tpu.registry import EVALUATORS
+    from transhuman_tpu.testing import init_params, synthetic_setup
+
+    model, pipe, frame, smpl, cluster = synthetic_setup(
+        image_hw=IMAGE_HW,
+        n_verts=6890,
+        n_clusters=300,
+        n_samples=N_SAMPLES,
+        chunk_rays=CHUNK_RAYS,
+        dtype=jnp.bfloat16,
+        compact_ratio=COMPACT_RATIO,
+    )
+    params = init_params(model, frame, cluster.num_clusters,
+                         jax.random.PRNGKey(0))
+    tmp = tempfile.mkdtemp(prefix="bench_eval_")
+    cfg = Config().merge_dict({
+        "run_mode": "test",
+        "N_samples": N_SAMPLES,
+        "test": {"full_eval": True},
+        "pad_bucket": N_RAYS,  # 65536-ray buckets: eval frames whose box
+        # rays fit reuse the exact render program the kernel bench compiled
+        "result_dir": tmp,
+        "smpl_dir": "/nonexistent",
+        "kmeans_dir": "/nonexistent",
+    })
+    dataset = SyntheticDataset(cfg, "test", n_frames=n_frames,
+                               image_hw=IMAGE_HW, smpl=smpl)
+    times = []
+    for _ in range(2):  # pass 1 compiles/warms; pass 2 is the measurement
+        ev = EVALUATORS.get(cfg.evaluator)(
+            tmp, lpips_fn=None, exp_name="bench", epoch=0)
+        t0 = time.perf_counter()
+        with contextlib.redirect_stdout(sys.stderr):
+            evaluate_frames(cfg, pipe, params, dataset, ev)
+        times.append(time.perf_counter() - t0)
+    return n_frames / times[-1]
 
 
 def main():
-    rays_per_sec = bench_render()
-    train_step_sec = bench_train_step()
-    print(
-        json.dumps(
-            {
-                "metric": "rays_per_sec_512x512_render",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s/chip",
-                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
-                "baseline": f"estimate_{int(REFERENCE_RAYS_PER_SEC/1000)}k_rays_per_sec_1xV100",
-                "train_step_sec": round(train_step_sec, 4),
-                "train_vs_baseline": round(REFERENCE_TRAIN_STEP_SEC / train_step_sec, 3),
-                "train_baseline": "estimate_0.6s_per_iter_1xV100",
-            }
-        )
-    )
+    rays_per_sec, render_dt, render_flops, render_hbm = bench_render()
+    train_step_sec, train_flops, train_hbm = bench_train_step()
+    eval_fps = bench_eval_protocol()
+    fields = {
+        "metric": "rays_per_sec_512x512_render",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+        "baseline": f"estimate_{int(REFERENCE_RAYS_PER_SEC/1000)}k_rays_per_sec_1xV100",
+        "train_step_sec": round(train_step_sec, 4),
+        "train_vs_baseline": round(REFERENCE_TRAIN_STEP_SEC / train_step_sec, 3),
+        "train_baseline": "estimate_0.6s_per_iter_1xV100",
+        # secondary: the full eval loop (host input + render + metrics +
+        # dumps), regression guard for the host path
+        "eval_frames_per_sec_512": round(eval_fps, 3),
+        # roofline accounting (XLA HloCostAnalysis over the compiled
+        # programs / v5e peaks: 197 bf16 TFLOP/s, 819 GB/s HBM); the
+        # descriptor-bound argument in docs/PERF.md is quantified by how far
+        # BOTH utilizations sit below 1.0 at the measured times
+        "peaks": "v5e: 197 TFLOP/s bf16, 819 GB/s HBM",
+    }
+    fields.update(_roofline_fields("render", render_dt, render_flops,
+                                   render_hbm))
+    fields.update(_roofline_fields("train", train_step_sec, train_flops,
+                                   train_hbm))
+    print(json.dumps(fields))
 
 
 if __name__ == "__main__":

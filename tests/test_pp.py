@@ -132,6 +132,59 @@ def test_pp_composes_with_dp():
     )
 
 
+def test_pp_composes_with_tp():
+    """PP x TP over a ('pipe','model') mesh: stages manual over 'pipe'
+    (ppermute ring), block matmuls GSPMD-partitioned over 'model' from the
+    Megatron shardings shard_pp_params(tp_axis=...) placed — forward +
+    grads equal to unsharded, and the stacked qkv kernel really carries the
+    column-parallel spec."""
+    from jax.sharding import Mesh
+
+    model, params, tokens, pe = _setup(b=4)
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("pipe", "model"))
+    apply = make_pp_vit_apply(model, mesh, n_micro=2, tp_axis="model")
+    pp = shard_pp_params(mesh, stack_block_params(params, 2),
+                         tp_axis="model")
+    # placement really is Megatron column-parallel on the stacked leaves
+    assert pp["stages"]["attn"]["qkv"]["kernel"].sharding.spec == P(
+        "pipe", None, None, "model")
+    assert pp["stages"]["attn"]["proj"]["kernel"].sharding.spec == P(
+        "pipe", None, "model", None)
+
+    ref = model.apply({"params": params}, tokens, pe)
+    got = jax.jit(apply)(pp, tokens, pe)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    tgt = jnp.asarray(np.random.default_rng(5).normal(size=tokens.shape),
+                      jnp.float32)
+    ref_g = jax.grad(
+        lambda p: jnp.mean((model.apply({"params": p}, tokens, pe) - tgt) ** 2)
+    )(params)
+    pp_g = jax.jit(
+        jax.grad(lambda p: jnp.mean((apply(p, tokens, pe) - tgt) ** 2))
+    )(pp)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        ),
+        unstack_block_params(pp_g),
+        dict(ref_g),
+    )
+
+
+def test_pp_tp_axis_validation():
+    from jax.sharding import Mesh
+
+    model, params, tokens, pe = _setup()
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("pipe", "model"))
+    with pytest.raises(ValueError, match="not in mesh"):
+        make_pp_vit_apply(model, mesh, 2, tp_axis="nope")
+    with pytest.raises(ValueError, match="distinct axis"):
+        make_pp_vit_apply(model, mesh, 2, tp_axis="pipe")
+
+
 def test_pp_bf16_matches_unsharded():
     """The flagship compute dtype: pipelined bf16 blocks == unsharded bf16
     (same op order per token; tolerance covers scan-vs-unroll fusion)."""

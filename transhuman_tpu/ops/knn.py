@@ -137,6 +137,39 @@ def min_dist(pts, refs, precision=None, ref_block: int = 1024):
     return jnp.sqrt(out)
 
 
+def min_excess2(pts, refs, bias2, precision=None, ref_block: int = 1024):
+    """min over refs of (|p - r|^2 - bias2_r): (N,).  The per-vertex-radii
+    cull predicate `exists v: dist(p, v) <= r_v` is `min_excess2 < 0` with
+    bias2 = r_v^2 — same blocked MXU form as min_dist (the bias is a free
+    row-vector add on the distance matrix), no sqrt needed.
+
+    With uniform bias2 = c^2 this reduces to the classic shell predicate
+    (min d2 < c^2  <=>  dist < c), so radii-cull with constant radii is the
+    reference cull (if_clight_renderer.py:440-443) exactly.
+    """
+    r = refs.shape[0]
+    if r <= ref_block:
+        d2 = pairwise_dist2(pts, refs, precision=precision)
+        return jnp.min(d2 - bias2[None, :], axis=-1)
+    pad = (-r) % ref_block
+    refs_p = jnp.pad(refs, ((0, pad), (0, 0)), constant_values=1e10)
+    bias_p = jnp.pad(bias2, (0, pad))  # padded rows: d2 ~ 1e20 dominates
+    blocks = refs_p.reshape(-1, ref_block, 3)
+    bias_blocks = bias_p.reshape(-1, ref_block)
+
+    def body(carry, blk):
+        b_refs, b_bias = blk
+        d2 = pairwise_dist2(pts, b_refs, precision=precision)
+        return (
+            jnp.minimum(carry, jnp.min(d2 - b_bias[None, :], axis=-1)),
+            None,
+        )
+
+    init = jnp.full(pts.shape[:1], jnp.inf, pts.dtype)
+    out, _ = jax.lax.scan(body, init, (blocks, bias_blocks))
+    return out
+
+
 def knn_softmax_weights(dist, alpha: float):
     """softmax(-dist/alpha) over the K axis (cross_transformer.py:151-156)."""
     return jax.nn.softmax(-dist / alpha, axis=-1)

@@ -90,14 +90,49 @@ def unstack_block_params(pp_params):
     return out
 
 
-def shard_pp_params(mesh: Mesh, pp_params):
+def shard_pp_params(mesh: Mesh, pp_params, tp_axis: str | None = None):
     """Place stage params over 'pipe' (each device holds ONLY its stage's
-    blocks), mask_token/norm replicated."""
-    stage_s = NamedSharding(mesh, P("pipe"))
+    blocks), mask_token/norm replicated.
+
+    tp_axis: additionally shard each stacked block leaf Megatron-style over
+    that mesh axis (the (S, per, ...) stacked leaves reuse parallel/tp.py's
+    _TP_RULES on the trailing param dims) — the PP x TP layout for
+    `make_pp_vit_apply(..., tp_axis=...)`.  Non-divisible dims stay
+    replicated over tp_axis, exactly like tp_param_specs."""
     rep = NamedSharding(mesh, P())
+
+    if tp_axis is None:
+        def stage_spec(path, leaf):
+            return P("pipe")
+    else:
+        import re
+
+        from .tp import _TP_RULES, _path_str
+
+        n_tp = mesh.shape[tp_axis]
+
+        def stage_spec(path, leaf):
+            s = _path_str(path)
+            for pat, sp in _TP_RULES:
+                if re.search(pat, s):
+                    # shift the raw-param spec past the (stage, block) dims
+                    axes = tuple(
+                        tp_axis if ax == "model" else ax for ax in sp
+                    )
+                    divisible = all(
+                        ax is None or leaf.shape[2 + i] % n_tp == 0
+                        for i, ax in enumerate(axes)
+                    )
+                    if divisible:
+                        return P("pipe", None, *axes)
+            return P("pipe")
+
+    def put_stage(path, x):
+        return jax.device_put(x, NamedSharding(mesh, stage_spec(path, x)))
+
     return {
-        "stages": jax.tree.map(
-            lambda x: jax.device_put(x, stage_s), pp_params["stages"]
+        "stages": jax.tree_util.tree_map_with_path(
+            put_stage, pp_params["stages"]
         ),
         "mask_token": jax.device_put(pp_params["mask_token"], rep),
         "norm": jax.tree.map(lambda x: jax.device_put(x, rep), pp_params["norm"]),
@@ -105,7 +140,11 @@ def shard_pp_params(mesh: Mesh, pp_params):
 
 
 def make_pp_vit_apply(
-    model: TransHE, mesh: Mesh, n_micro: int, batch_axis: str | None = None
+    model: TransHE,
+    mesh: Mesh,
+    n_micro: int,
+    batch_axis: str | None = None,
+    tp_axis: str | None = None,
 ):
     """Returns apply(pp_params, tokens, pe, mask=None) — output-equal to
     `model.apply({'params': vit_params}, tokens, pe, mask)` with the blocks
@@ -122,10 +161,25 @@ def make_pp_vit_apply(
     the same pipeline on its batch slice; stage params are replicated over
     'data' and sharded over 'pipe').  The prologue/epilogue then also run
     'data'-sharded.  None = 'pipe' is the only mesh axis used.
+
+    tp_axis: name of a mesh axis to run Megatron tensor parallelism over
+    WITHIN each pipeline stage (PP x TP over a ('pipe', 'model') mesh).
+    Composition mechanics: the shard_map goes partial-manual —
+    `axis_names` marks only 'pipe' (+ batch_axis) manual, the tp axis stays
+    auto, so XLA's SPMD partitioner inserts the per-block-half reduces from
+    the stage params' shardings (place them with
+    `shard_pp_params(mesh, pp, tp_axis=...)`), exactly like parallel/tp.py
+    does for the unpipelined step.  The scaling-book composition: schedule
+    by hand (ppermute ring), shard by annotation.
     """
     n_stages = mesh.shape["pipe"]
     if batch_axis is not None and batch_axis not in mesh.shape:
         raise ValueError(f"batch_axis {batch_axis!r} not in mesh {mesh}")
+    if tp_axis is not None:
+        if tp_axis not in mesh.shape:
+            raise ValueError(f"tp_axis {tp_axis!r} not in mesh {mesh}")
+        if tp_axis in ("pipe", batch_axis):
+            raise ValueError(f"tp_axis {tp_axis!r} must be a distinct axis")
     if model.depth % n_stages:
         raise ValueError(
             f"depth {model.depth} not divisible by pipe axis {n_stages}"
@@ -145,12 +199,20 @@ def make_pp_vit_apply(
 
     xm_spec = P(None, batch_axis)  # microbatch axis whole, rows DP-sharded
 
+    sm_kwargs = {}
+    if tp_axis is not None:
+        # partial-manual: 'pipe' (+ batch_axis) are manual collectives
+        # axes; tp_axis stays auto so GSPMD partitions the block matmuls
+        manual = {"pipe"} | ({batch_axis} if batch_axis else set())
+        sm_kwargs["axis_names"] = frozenset(manual)
+
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(P("pipe"), xm_spec),
         out_specs=xm_spec,
         check_vma=False,
+        **sm_kwargs,
     )
     def pipeline(stages, xm):
         # local shard: (1, per_stage, ...) -> this device's (per_stage, ...)
