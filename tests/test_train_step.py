@@ -302,6 +302,107 @@ def test_remat_grads_match():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
 
 
+def _cull_clone(pipe, ratio, cull_distance=None):
+    p2 = RenderPipeline.__new__(RenderPipeline)
+    p2.__dict__.update(pipe.__dict__)
+    p2.train_cull = True
+    p2.train_cull_ratio = ratio
+    if cull_distance is not None:
+        p2.cull_distance = cull_distance
+    return p2
+
+
+def test_train_cull_compact_matches_mask_oracle(tiny):
+    """train.cull semantics: the compacted decode (gather survivors ->
+    decode -> scatter raw back) must produce the same loss AND the same
+    parameter update as the mask-only oracle (ratio >= 1.0: every point
+    decoded, culled ones masked) when capacity holds — compaction is an
+    execution detail, not a semantics knob."""
+    pipe, params = tiny
+    # cull_distance large enough that some (not all) points survive
+    oracle = _cull_clone(pipe, 1.0, cull_distance=0.5)
+    compact = _cull_clone(pipe, 0.9, cull_distance=0.5)
+    tx, _ = make_optimizer(iters_per_epoch=2)
+    batch = stack_samples([make_sample(3)])
+    key = jax.random.PRNGKey(7)
+
+    step_o = make_train_step(oracle, tx, donate=False)
+    step_c = make_train_step(compact, tx, donate=False)
+    state = init_state(params, tx)
+    so, stats_o = step_o(state, batch, key)
+    sc, stats_c = step_c(state, batch, key)
+    assert float(stats_c["overflow"]) == 0.0
+    assert "overflow" not in stats_o  # mask-only mode has no capacity
+    np.testing.assert_allclose(float(stats_c["loss"]), float(stats_o["loss"]),
+                               rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+        sc.params, so.params,
+    )
+
+
+def test_train_cull_differs_from_unculled_and_converges(tiny):
+    """The flag is a real semantics change (culled != unculled on frames
+    with off-body density) and the culled step still optimizes: loss
+    decreases over a short overfit."""
+    pipe, params = tiny
+    culled = _cull_clone(pipe, 0.9, cull_distance=0.5)
+    tx, _ = make_optimizer(iters_per_epoch=2)
+    batch = stack_samples([make_sample(3)])
+    key = jax.random.PRNGKey(7)
+
+    step_u = make_train_step(pipe, tx, donate=False)
+    step_c = make_train_step(culled, tx, donate=False)
+    state = init_state(params, tx)
+    _, stats_u = step_u(state, batch, key)
+    _, stats_c = step_c(state, batch, key)
+    assert abs(float(stats_u["loss"]) - float(stats_c["loss"])) > 0
+    # short overfit under the flag
+    st = state
+    losses = []
+    for i in range(6):
+        st, stats = step_c(st, batch, jax.random.PRNGKey(100 + i))
+        losses.append(float(stats["loss"]))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(losses))
+
+
+def test_train_cull_overflow_reported(tiny):
+    """Capacity clips must surface in stats (clipped points silently lose
+    gradient otherwise)."""
+    pipe, params = tiny
+    # cull_distance huge -> every point survives; ratio 0.1 -> m = 8 < 64
+    clipped = _cull_clone(pipe, 0.1, cull_distance=100.0)
+    tx, _ = make_optimizer(iters_per_epoch=2)
+    step = make_train_step(clipped, tx, donate=False)
+    state = init_state(params, tx)
+    _, stats = step(state, stack_samples([make_sample(3)]),
+                    jax.random.PRNGKey(0))
+    assert float(stats["overflow"]) == NR * NS - 8
+
+
+def test_train_cull_composes_with_remat(tiny):
+    """remat wraps the culled decode too; grads unchanged."""
+    pipe, params = tiny
+    base = _cull_clone(pipe, 0.9, cull_distance=0.5)
+    rem = _cull_clone(pipe, 0.9, cull_distance=0.5)
+    rem.remat = True
+    tx, _ = make_optimizer(iters_per_epoch=2)
+    batch = stack_samples([make_sample(3)])
+    key = jax.random.PRNGKey(1)
+    state = init_state(params, tx)
+    s0, st0 = make_train_step(base, tx, donate=False)(state, batch, key)
+    s1, st1 = make_train_step(rem, tx, donate=False)(state, batch, key)
+    np.testing.assert_allclose(float(st0["loss"]), float(st1["loss"]),
+                               rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+        s0.params, s1.params,
+    )
+
+
 def test_all_reference_optimizers_build_and_step():
     """The reference factory's four options (optimizer.py:4-9) all make a
     working transform."""

@@ -297,6 +297,13 @@ def main(argv=None, dataset=None, smpl=None):
             t_end = time.time()
             if it % cfg.log_interval == 0:
                 stats_np = {k: float(v) for k, v in stats.items()}
+                if stats_np.get("overflow", 0.0) > 0:
+                    print(
+                        "WARNING: train.cull capacity clipped an average of "
+                        f"{stats_np['overflow']:.0f} active points/sample — "
+                        "those lose contribution AND gradient; raise "
+                        "train.cull_ratio"
+                    )
                 recorder.update(stats_np)
                 lr = float(schedule(recorder.step))
                 print(f"epoch {epoch} iter {it}/{cfg.ep_iter}  "

@@ -79,6 +79,19 @@ class TrainConfig:
     accum_steps: int = 1  # gradient accumulation: split each device's local
     # batch into this many sequential microbatches with averaged gradients
     # (train/step.py::accum_value_and_grad; BN stats pool per microbatch)
+    cull: bool = False  # route the TRAINING decode through the same
+    # SMPL-distance cull (+ static-capacity compaction) as inference.
+    # DELIBERATE semantics change vs the reference, which trains unculled
+    # (if_clight_renderer.py:486-498): off-body sample points contribute
+    # raw=0 and receive no gradient — i.e. training optimizes exactly the
+    # function inference serves.  Survivor-proportional step costs (the
+    # d_feat engine, decode fwd/bwd) shrink ~with the ~19% cull fraction.
+    # Monitor the 'overflow' stat (must stay 0) and see docs/SCALING.md.
+    cull_ratio: float = 0.35  # static decode capacity as a fraction of
+    # rays*samples when train.cull is on; >= 1.0 decodes every point with
+    # culled ones masked (the semantics oracle, no compaction speedup).
+    # Clipped points beyond capacity lose contribution AND gradient, so
+    # size it generously (measure with tools/measure_compact_ratio).
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
 
 
@@ -176,6 +189,12 @@ class Config:
     compute_dtype: str = "float32"  # [float32 | bfloat16] for the network forward
     chunk_size: int = 32768  # points per inference chunk (if_clight_renderer.py:575)
     cull_distance: float = 0.1  # SMPL-distance point cull (if_clight_renderer.py:442)
+    cull_radii: str = ""  # npz of per-vertex cull radii (key 'radii', (Nv,))
+    # measured from a trained model by tools/measure_vertex_radii.py:
+    # replaces the uniform cull_distance shell with dist(p, v) < r_v —
+    # fewer survivors => faster decode on the descriptor-bound render path.
+    # Opt-in; tightening the shell changes outputs by at most the deltas
+    # the tool reports (docs/PERF.md "Per-vertex cull radii").
     pad_bucket: int = 8192  # ray-count padding granularity for static shapes
     use_pallas_knn: bool = False  # fused Pallas DPaRF kernel (experiments/dparf.py;
     # measured slower than the XLA composition on v5e — see its docstring)

@@ -132,6 +132,14 @@ class RenderPipeline:
         # (58.6k vs 73.4k rays/s measured); kept for future hardware
         compact_ratio: Optional[float] = None,
         cull_clusters: int = 1024,
+        vertex_radii: Optional[np.ndarray] = None,  # (Nv,) per-vertex cull
+        # radii in meters, replacing the uniform cull_distance shell: keep p
+        # iff exists v with dist(p, v) < r_v.  Measured conservatively from
+        # a trained model's density (tools/measure_vertex_radii.py); with
+        # all radii == cull_distance this is the reference predicate
+        # exactly.  Opt-in (cfg.cull_radii): tightening the shell is a
+        # semantics change vs the reference — points between r_v and 0.1 m
+        # stop contributing — gated by the tool's measured image deltas.
         remat: bool = False,  # rematerialize the point decode in backward:
         # the (R*S, ·)-scale activations (pixel-feature gathers, DPaRF reps,
         # head hiddens) dominate train memory; jax.checkpoint drops them and
@@ -140,6 +148,9 @@ class RenderPipeline:
         # with rays-per-step.  Exact: gradients are bit-identical programs
         # modulo scheduling.  cfg.remat; inference paths are unaffected
         # (no backward).
+        train_cull: bool = False,  # cfg.train.cull: cull+compact the
+        # TRAINING decode (see config.py; the reference trains unculled)
+        train_cull_ratio: float = 0.35,  # cfg.train.cull_ratio
         view_freqs: Optional[int] = None,  # cfg.view_res (embedder.py:53);
         # defaults to the model's view_freqs so init and render agree; head
         # widths adapt via flax shape inference (official arch: 4 -> 27-d,
@@ -151,6 +162,8 @@ class RenderPipeline:
                            else getattr(model, "view_freqs", 4))
         self.chunk_rays = chunk_rays
         self.remat = remat
+        self.train_cull = train_cull
+        self.train_cull_ratio = train_cull_ratio
         self.use_pallas = use_pallas
         self.quantize_pixel_feat = quantize_pixel_feat
         # static-capacity compaction: decode only the SMPL-culled survivors.
@@ -165,6 +178,17 @@ class RenderPipeline:
         self.compact_ratio = compact_ratio
         self.use_pallas_cull = False  # XLA's blocked scan is VPU-bound and on par
         self.cull_distance = cull_distance
+        self.vertex_radii = None
+        if vertex_radii is not None:
+            vr = np.asarray(vertex_radii, np.float32).reshape(-1)
+            if vr.shape[0] != np.asarray(canonical_verts).shape[0]:
+                raise ValueError(
+                    f"vertex_radii has {vr.shape[0]} entries for "
+                    f"{np.asarray(canonical_verts).shape[0]} vertices"
+                )
+            if (vr <= 0).any() or not np.isfinite(vr).all():
+                raise ValueError("vertex_radii must be positive and finite")
+            self.vertex_radii = vr
         self.white_bkgd = white_bkgd
         self.raw_noise_std = raw_noise_std
         self.pool = jnp.asarray(cluster.pool_matrix)  # (C, Nv)
@@ -244,10 +268,16 @@ class RenderPipeline:
         vd = jnp.linalg.norm(
             frame.tar_verts_smpl - centers[self.cull_assign], axis=1
         )
+        # cull-pass at p means exists v: dist(p, v) < reach_v (reach_v is
+        # cull_distance, or r_v under per-vertex radii); then
+        # dist(p, center_c(v)) < vd_v + reach_v <= the cluster's segment-max
+        # — so comparing against that max keeps the prefilter a superset.
+        reach = (jnp.asarray(self.vertex_radii)
+                 if self.vertex_radii is not None else self.cull_distance)
         radii = (
             jnp.zeros((centers.shape[0],), vd.dtype)
             .at[self.cull_assign]
-            .max(vd)
+            .max(vd + reach)
         )
         # +0.1 mm: the superset property (cull-pass => some prefilter ball
         # contains the point) holds exactly in real arithmetic but f32
@@ -256,7 +286,7 @@ class RenderPipeline:
         # while admitting ~zero extra survivors.  A wrongly-admitted point
         # is FREE in output terms: the exact in-chunk cull zeroes its raw,
         # and a raw=0 stream slot composites as transmittance exactly 1.
-        return centers, (radii + self.cull_distance + 1e-4) ** 2
+        return centers, (radii + 1e-4) ** 2
 
     def _prefilter_chunk(self, frame, c_pts, centers, thresh2):
         from ..ops.knn import pairwise_dist2
@@ -306,7 +336,7 @@ class RenderPipeline:
         """SMPL-proximity mask (dist < cull_distance); fused Pallas kernel
         when shapes allow (experiments/cull.py), blocked XLA scan otherwise."""
         n = pts_smpl.shape[0]
-        if self.use_pallas_cull:
+        if self.use_pallas_cull and self.vertex_radii is None:
             # experiments/ import stays off the default path (VERDICT r3 #8)
             from ..experiments.cull import TILE_N, min_dist2_fused
 
@@ -324,10 +354,24 @@ class RenderPipeline:
         # (consistency by construction), so a wobbled keep is wobbled
         # identically in both.
         dt = jnp.bfloat16 if self.model.dtype is not None else jnp.float32
+        prec = "highest" if self.model.dtype is None else None
+        if self.vertex_radii is not None:
+            from ..ops.knn import min_excess2
+
+            # per-vertex reach: keep iff exists v with d2 < r_v^2 — the
+            # bias rides the same blocked MXU distance pass as min_dist
+            r2 = jnp.asarray(self.vertex_radii**2, dt)
+            return (
+                min_excess2(
+                    pts_smpl.astype(dt), verts_smpl.astype(dt), r2,
+                    precision=prec,
+                )
+                < 0.0
+            )
         return (
             min_dist(
                 pts_smpl.astype(dt), verts_smpl.astype(dt),
-                precision="highest" if self.model.dtype is None else None,
+                precision=prec,
             )
             < self.cull_distance
         )
@@ -427,9 +471,46 @@ class RenderPipeline:
             # save only the decode's inputs/outputs; every (R*S, ·)
             # intermediate is recomputed in the backward pass
             qp = jax.checkpoint(qp)
-        raw = qp(
-            params, frame, pro, pts.reshape(r * s, 3), vde, pts_mask
-        )
+        flat = pts.reshape(r * s, 3)
+        overflow = None
+        if self.train_cull:
+            # cull+compact the TRAINING decode (cfg.train.cull — a
+            # deliberate semantics change; the reference trains unculled,
+            # if_clight_renderer.py:486-498): off-body points contribute
+            # raw=0 and receive no gradient, matching what inference serves.
+            # The one exact-cull matmul pass is ~1-2 ms at train scale, so
+            # no prefilter staging is needed; jnp.nonzero's index
+            # materialization (the 33 ms problem at inference's 4.19M
+            # points) is ~1 ms at 153.6k.
+            keep = self._cull(to_smpl(frame, flat),
+                              frame.tar_verts_smpl) & pts_mask
+            n = r * s
+            if self.train_cull_ratio >= 1.0:
+                # mask-only: every point decodes, culled ones masked — the
+                # semantics oracle for the compacted branch (no speedup)
+                raw = qp(params, frame, pro, flat, vde, keep)
+            else:
+                # sublane-multiple capacity; the train decode is one fused
+                # evaluation (no ray chunking), so no chunk alignment needed
+                m = min(-(-int(self.train_cull_ratio * n) // 8) * 8, n)
+                n_active = jnp.sum(keep)
+                (idx,) = jnp.nonzero(keep, size=m, fill_value=n)
+                valid = idx < n
+                safe = jnp.minimum(idx, n - 1)
+                c_pts = flat.at[safe].get(indices_are_sorted=True)
+                c_vde = vde.at[safe].get(indices_are_sorted=True)
+                raw_c = qp(params, frame, pro, c_pts, c_vde, valid)
+                # scatter-back is differentiable: the VJP is a gather of
+                # the composite cotangent at idx (one cheap row gather)
+                raw = (
+                    jnp.zeros((n, 4), raw_c.dtype)
+                    .at[idx]
+                    .set(raw_c, mode="drop", indices_are_sorted=True)
+                )
+                # clipped points lose contribution AND gradient: surface it
+                overflow = jnp.maximum(n_active - m, 0).reshape(1)
+        else:
+            raw = qp(params, frame, pro, flat, vde, pts_mask)
         out = composite(
             raw.reshape(r, s, 4).astype(jnp.float32),
             z_vals,
@@ -442,6 +523,8 @@ class RenderPipeline:
             # bitwise unchanged, and composite ignores rng at noise_std=0
             None if rng is None else jax.random.fold_in(rng, 1),
         )
+        if overflow is not None:
+            out["overflow"] = overflow
         return out
 
     # -- inference path (chunk scan + SMPL culling) ---------------------
@@ -791,6 +874,12 @@ def _make_clight(model, cluster, canonical_verts, cfg, chunk_rays=None,
     """cfg.renderer plugin entry (reference make_renderer.py:4-8): build the
     volume-rendering orchestrator from a config."""
     del axis_name
+    vertex_radii = None
+    if cfg.cull_radii:
+        # tools/measure_vertex_radii.py output: per-vertex conservative
+        # cull radii measured from a trained model's density
+        with np.load(cfg.cull_radii) as z:
+            vertex_radii = np.asarray(z["radii"], np.float32)
     return RenderPipeline(
         model,
         cluster,
@@ -805,4 +894,7 @@ def _make_clight(model, cluster, canonical_verts, cfg, chunk_rays=None,
         compact_ratio=cfg.compact_ratio,
         remat=cfg.remat,
         view_freqs=cfg.view_res,
+        vertex_radii=vertex_radii,
+        train_cull=cfg.train.cull,
+        train_cull_ratio=cfg.train.cull_ratio,
     )

@@ -89,10 +89,17 @@ def make_sample_loss(
         if not patch_mode:
             # the reference's non-patch branch adds img_loss UNWEIGHTED
             # (if_nerf_clight.py:77-81; l2rec_weight only scales the patch MSE)
-            return random_ray_losses(out["rgb_map"], sample)
-        return patch_losses(
-            out["rgb_map"], sample, lpips_fn, l2_weight, lpips_weight
-        )
+            loss, stats = random_ray_losses(out["rgb_map"], sample)
+        else:
+            loss, stats = patch_losses(
+                out["rgb_map"], sample, lpips_fn, l2_weight, lpips_weight
+            )
+        if "overflow" in out:
+            # train.cull capacity clips (batch-meaned like every stat; any
+            # value > 0 means some points lost contribution AND gradient —
+            # the trainer warns and the fix is raising train.cull_ratio)
+            stats["overflow"] = out["overflow"][0].astype(jnp.float32)
+        return loss, stats
 
     return sample_loss
 
