@@ -175,7 +175,9 @@ def bench_render():
     rgb_r = np.asarray(last_r["rgb_map"], np.float32)
     mse = float(np.mean((rgb - rgb_r) ** 2))
     radii_fields = {
-        "rays_per_sec_radii_cull_0.05": round(N_RAYS / dt_r, 1),
+        # field name derives from the constant so retuning RADII_REACH
+        # cannot leave a stale label in the JSON
+        f"rays_per_sec_radii_cull_{RADII_REACH}": round(N_RAYS / dt_r, 1),
         "psnr_radii_vs_shell": round(
             float(-10 * np.log10(max(mse, 1e-12))), 2),
     }
@@ -244,8 +246,8 @@ def bench_train_step():
 
 def bench_eval_protocol(n_frames=6):
     """End-to-end eval-loop throughput (frames/s): host input path +
-    pipelined render with overflow auto-recovery + PSNR/SSIM metrics +
-    image dumps — the cli/run.py evaluate loop itself, on the synthetic
+    pipelined render with overflow auto-recovery + PSNR/SSIM metrics
+    (image dumps off — see below) — the cli/run.py evaluate loop, on the synthetic
     512x512 dataset (the kernel bench above is blind to host-path
     regressions; this field is the guard).  Timed on a second pass so the
     first pass absorbs compiles."""
@@ -269,6 +271,8 @@ def bench_eval_protocol(n_frames=6):
     )
     params = init_params(model, frame, cluster.num_clusters,
                          jax.random.PRNGKey(0))
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="bench_eval_")
     cfg = Config().merge_dict({
         "run_mode": "test",
@@ -282,15 +286,22 @@ def bench_eval_protocol(n_frames=6):
     })
     dataset = SyntheticDataset(cfg, "test", n_frames=n_frames,
                                image_hw=IMAGE_HW, smpl=smpl)
-    times = []
-    for _ in range(2):  # pass 1 compiles/warms; pass 2 is the measurement
-        ev = EVALUATORS.get(cfg.evaluator)(
-            tmp, lpips_fn=None, exp_name="bench", epoch=0)
-        t0 = time.perf_counter()
-        with contextlib.redirect_stdout(sys.stderr):
-            evaluate_frames(cfg, pipe, params, dataset, ev)
-        times.append(time.perf_counter() - t0)
-    return n_frames / times[-1]
+    try:
+        times = []
+        for _ in range(2):  # pass 1 compiles/warms; pass 2 = measurement
+            # save_images=False: the field times the loop (host input +
+            # render + metrics), and repeated bench runs must not
+            # accumulate 512x512 dumps in /tmp
+            ev = EVALUATORS.get(cfg.evaluator)(
+                tmp, lpips_fn=None, save_images=False, exp_name="bench",
+                epoch=0)
+            t0 = time.perf_counter()
+            with contextlib.redirect_stdout(sys.stderr):
+                evaluate_frames(cfg, pipe, params, dataset, ev)
+            times.append(time.perf_counter() - t0)
+        return n_frames / times[-1]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main():
@@ -307,8 +318,8 @@ def main():
         "train_step_sec": round(train_step_sec, 4),
         "train_vs_baseline": round(REFERENCE_TRAIN_STEP_SEC / train_step_sec, 3),
         "train_baseline": "estimate_0.6s_per_iter_1xV100",
-        # secondary: the full eval loop (host input + render + metrics +
-        # dumps), regression guard for the host path
+        # secondary: the full eval loop (host input + render + metrics),
+        # regression guard for the host path
         "eval_frames_per_sec_512": round(eval_fps, 3),
         # roofline accounting (XLA HloCostAnalysis over the compiled
         # programs / v5e peaks: 197 bf16 TFLOP/s, 819 GB/s HBM); the

@@ -39,12 +39,11 @@ def tiny():
 
 
 def _clone_with_radii(pipe, radii):
-    model, cluster = pipe.model, None
+    # the fine cull partition is geometry-only (radii enter
+    # _prefilter_tables per call), so clones share it
     p2 = RenderPipeline.__new__(RenderPipeline)
     p2.__dict__.update(pipe.__dict__)
     p2.vertex_radii = np.asarray(radii, np.float32)
-    p2.cull_assign = None
-    p2.cull_pool = None
     return p2
 
 
@@ -136,6 +135,13 @@ def test_measure_tool_and_cfg_roundtrip(tmp_path):
     assert (radii >= 0.01 - 1e-7).all()
     assert (radii <= pipe.cull_distance + 1e-7).all()
     assert 0.0 <= report["significant_frac"] <= 1.0
+    # cross-validation rounds ran: round 1 seeds, later fresh draws expand
+    assert report["rounds"] >= 2
+    assert report["certified"] == (report["uncovered_per_round"][-1] == 0)
+    if report["certified"]:
+        # a certified result means an INDEPENDENT probe draw found nothing
+        # outside the measured reach
+        assert report["uncovered_per_round"][-1] == 0
 
     rows = report_deltas(pipe, params, radii, items)
     assert len(rows) == 2

@@ -35,12 +35,12 @@ CHUNK_RAYS = 512
 
 
 def clone(pipe, radii, ratio):
+    # the fine cull partition is geometry-only (radii enter
+    # _prefilter_tables per call), so clones share it
     p2 = RenderPipeline.__new__(RenderPipeline)
     p2.__dict__.update(pipe.__dict__)
     p2.vertex_radii = None if radii is None else np.asarray(radii, np.float32)
     p2.compact_ratio = ratio
-    p2.cull_assign = None
-    p2.cull_pool = None
     return p2
 
 

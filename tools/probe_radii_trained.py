@@ -70,9 +70,35 @@ def geometric_targets(pipe, frame, rays, surf_eps):
     return jax.jit(f)(frame, rays)
 
 
+def multiview_rays(n_rays, seed, spread=0.2):
+    """Rays from a random camera on the viewing sphere: training must
+    traverse the empty shell from many directions or the optimizer never
+    sees (and never zeroes) the off-body density there."""
+    from transhuman_tpu.render.pipeline import RayBundle
+
+    rng = np.random.default_rng(seed)
+    dirs = rng.standard_normal((n_rays, 3)).astype(np.float32) * spread
+    dirs[:, 2] += 1.0
+    th = rng.uniform(0, 2 * np.pi)
+    el = rng.uniform(-0.5, 0.5)
+    c, s = np.cos(th), np.sin(th)
+    ry = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    ce, se = np.cos(el), np.sin(el)
+    rx = np.array([[1, 0, 0], [0, ce, -se], [0, se, ce]], np.float32)
+    rot = ry @ rx
+    return RayBundle(
+        ray_o=np.tile(rot @ np.array([0, 0, -2.5], np.float32), (n_rays, 1)),
+        ray_d=(dirs @ rot.T).astype(np.float32),
+        near=np.full(n_rays, 1.2, np.float32),
+        far=np.full(n_rays, 3.8, np.float32),
+        mask=np.ones(n_rays, bool),
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--n_batches", type=int, default=24)
     ap.add_argument("--surf_eps", type=float, default=0.02)
     ap.add_argument("--alpha_eps", type=float, default=1e-3)
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -85,10 +111,12 @@ def main():
     params = init_params(model, frame, 300, jax.random.PRNGKey(0))
     frame_d = jax.tree.map(jnp.asarray, frame)
 
-    # fixed pool of ray batches with geometric targets
+    # pool of multi-view ray batches with geometric targets: shell coverage
+    # from many directions (a frontal-only pool leaves most of the shell
+    # untraversed and the random-init density there untouched — r5 note)
     batches = []
-    for i in range(4):
-        rays = synthetic_rays(2400, seed=i)
+    for i in range(args.n_batches):
+        rays = multiview_rays(2400, seed=i)
         rays_d = jax.tree.map(jnp.asarray, rays)
         tgt = geometric_targets(pipe, frame_d, rays_d, args.surf_eps)
         sample = TrainSample(frame=frame, rays=rays,
@@ -125,6 +153,9 @@ def main():
                             alpha_eps=args.alpha_eps)
     print(json.dumps({"measured_radii": report["radii"],
                       "significant_frac": report["significant_frac"],
+                      "rounds": report["rounds"],
+                      "uncovered_per_round": report["uncovered_per_round"],
+                      "certified": report["certified"],
                       "mean_reach_vs_shell": report["mean_reach_vs_shell"]}),
           flush=True)
 
@@ -139,9 +170,7 @@ def main():
 
     tight = RenderPipeline.__new__(RenderPipeline)
     tight.__dict__.update(pipe.__dict__)
-    tight.vertex_radii = radii
-    tight.cull_assign = None
-    tight.cull_pool = None
+    tight.vertex_radii = radii  # partition is geometry-only: share it
     sup, ex, n = make_counts_fn(tight)(frame_d, rays_e)
     frac = float(sup) / int(n)
     tight.compact_ratio = min(0.5, round(frac * 1.12 + 1e-3, 4))

@@ -18,13 +18,17 @@ conservative per-vertex reach:
      v (+ margin), floored at --min_radius, clipped at cull_distance
      (radii never ADMIT points the reference shell culls — deltas are
      one-sided: only sub-eps contributions can be dropped),
-  4. optionally render each pose twice (shell vs radii) and report the
+  4. CROSS-VALIDATE: draw fresh, independent probe sets and expand the
+     radii over any significant probe the current radii fail to cover
+     (the cull's own min_excess2 predicate), until a fresh draw finds
+     zero uncovered probes — the report's `certified` flag,
+  5. optionally render each pose twice (shell vs radii) and report the
      image deltas — the honesty check: commit these numbers with the npz.
 
 The guarantee is sampling-based (probes + sampled poses), hence the
-margin, the pose sweep, and the delta report; `cfg.cull_radii` stays
-opt-in.  Output: an npz with key 'radii' ((Nv,) float32 meters) +
-a JSON report on stdout.
+margin, the pose sweep, the cross-validation rounds, and the delta
+report; `cfg.cull_radii` stays opt-in.  Output: an npz with key 'radii'
+((Nv,) float32 meters) + a JSON report on stdout.
 
 Usage:
     # synthetic varied poses, random weights (mechanism check):
@@ -56,88 +60,118 @@ def _probe_points(verts, cull_distance, per_vertex, rng):
 
 
 def make_probe_fn(pipe, cp):
-    """jitted (params, frame, pts_world (N,3), spacing) ->
-    (alpha (N,), dist (N,), vert_idx (N,)) — density-derived per-sample
-    alpha plus nearest-vertex assignment, chunked like render_sigma."""
+    """jitted (params, frame, pts_world (N,3), spacing, radii (Nv,)) ->
+    (alpha (N,), dist (N,), vert_idx (N,), covered (N,)) — density-derived
+    per-sample alpha, nearest-vertex assignment, and whether the CURRENT
+    radii already cover the probe (exists v: dist(p,v) <= r_v, via the same
+    min_excess2 the cull itself uses), chunked like render_sigma."""
     import jax
     import jax.numpy as jnp
 
     from ..ops.knn import pairwise_dist2
     from ..render.pipeline import to_smpl
 
-    def probe(params, frame, pts_world, spacing):
+    def probe(params, frame, pts_world, spacing, radii):
         sigma, _ = pipe.render_sigma_dense(
             params, frame, pts_world,
             jnp.ones((pts_world.shape[0],), bool),
         )
         alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * spacing)
+        r2 = radii**2
 
         def chunk(c_pts):
             d2 = pairwise_dist2(
                 to_smpl(frame, c_pts), frame.tar_verts_smpl,
                 precision="highest",
             )
-            return jnp.sqrt(jnp.min(d2, axis=-1)), jnp.argmin(
-                d2, axis=-1).astype(jnp.int32)
+            return (
+                jnp.sqrt(jnp.min(d2, axis=-1)),
+                jnp.argmin(d2, axis=-1).astype(jnp.int32),
+                jnp.min(d2 - r2[None, :], axis=-1) <= 0.0,
+            )
 
-        dist, vidx = jax.lax.map(chunk, pts_world.reshape(-1, cp, 3))
-        return alpha, dist.reshape(-1), vidx.reshape(-1)
+        dist, vidx, cov = jax.lax.map(chunk, pts_world.reshape(-1, cp, 3))
+        return alpha, dist.reshape(-1), vidx.reshape(-1), cov.reshape(-1)
 
-    return jax.jit(probe, static_argnames=())
+    return jax.jit(probe)
 
 
 def measure(pipe, params, items, *, per_vertex=24, alpha_eps=1e-3,
-            margin=0.005, min_radius=0.01, spacing=None, seed=0):
+            margin=0.005, min_radius=0.01, spacing=None, seed=0,
+            max_rounds=6):
     """items: [(frame, rays-or-None)] posed frames.  Returns (radii (Nv,),
-    report dict)."""
+    report dict).
+
+    Cross-validated expansion (r5 review finding: a single probe draw
+    UNDER-measures when density is diffuse — sampling gaps left
+    significant regions outside the measured reach): round 1 seeds the
+    radii, then each further round draws FRESH probes (one rng across
+    rounds and poses) and expands the radii over any significant probe the
+    current radii fail to cover (checked with the cull's own min_excess2
+    predicate).  Rounds repeat until a fresh draw finds zero uncovered
+    significant probes (or max_rounds); the final round's uncovered count
+    is reported — 0 means the radii are certified against an independent
+    sample at this probe density."""
     import jax
     import jax.numpy as jnp
 
     cp = pipe.chunk_rays * pipe.n_samples
     probe_fn = make_probe_fn(pipe, cp)
-    nv = None
-    radii = None
+    nv = np.asarray(items[0][0].tar_verts_smpl).shape[0]
+    radii = np.zeros(nv, np.float32)
     n_sig = 0
     n_total = 0
-    for frame, rays in items:
-        verts = np.asarray(frame.tar_verts_smpl, np.float32)
-        nv = verts.shape[0]
-        if radii is None:
-            radii = np.zeros(nv, np.float32)
-        rng = np.random.default_rng(seed)
-        # probes live in SMPL coords; render_sigma wants world coords
-        pts_smpl = _probe_points(verts, pipe.cull_distance, per_vertex, rng)
-        Rh = np.asarray(frame.Rh, np.float32)
-        Th = np.asarray(frame.Th, np.float32)
-        pts_world = pts_smpl @ Rh.T + Th  # inverse of to_smpl (aug is None
-        # on eval frames; training aug never applies to radii measurement)
-        pad = (-pts_world.shape[0]) % cp
-        pts_world = np.pad(pts_world, ((0, pad), (0, 0)))
-        if spacing is None:
-            if rays is None:
-                raise ValueError("need rays (or --spacing) to derive the "
-                                 "sample spacing")
-            sp = float(np.median(
-                (np.asarray(rays.far) - np.asarray(rays.near))
-                / (pipe.n_samples - 1)
-            ))
-        else:
-            sp = float(spacing)
-        alpha, dist, vidx = probe_fn(
-            params, jax.tree.map(jnp.asarray, frame),
-            jnp.asarray(pts_world), sp,
-        )
-        alpha = np.asarray(alpha)[: pts_smpl.shape[0]]
-        dist = np.asarray(dist)[: pts_smpl.shape[0]]
-        vidx = np.asarray(vidx)[: pts_smpl.shape[0]]
-        sig = alpha > alpha_eps
-        n_sig += int(sig.sum())
-        n_total += sig.size
-        np.maximum.at(radii, vidx[sig], dist[sig])
+    rng = np.random.default_rng(seed)
+    uncovered_per_round = []
+    for rnd in range(max_rounds):
+        uncovered = 0
+        for frame, rays in items:
+            verts = np.asarray(frame.tar_verts_smpl, np.float32)
+            # probes live in SMPL coords; render_sigma wants world coords
+            pts_smpl = _probe_points(verts, pipe.cull_distance, per_vertex,
+                                     rng)
+            Rh = np.asarray(frame.Rh, np.float32)
+            Th = np.asarray(frame.Th, np.float32)
+            pts_world = pts_smpl @ Rh.T + Th  # inverse of to_smpl (aug is
+            # None on eval frames; training aug never applies here)
+            pad = (-pts_world.shape[0]) % cp
+            pts_world = np.pad(pts_world, ((0, pad), (0, 0)))
+            if spacing is None:
+                if rays is None:
+                    raise ValueError("need rays (or --spacing) to derive "
+                                     "the sample spacing")
+                sp = float(np.median(
+                    (np.asarray(rays.far) - np.asarray(rays.near))
+                    / (pipe.n_samples - 1)
+                ))
+            else:
+                sp = float(spacing)
+            alpha, dist, vidx, cov = probe_fn(
+                params, jax.tree.map(jnp.asarray, frame),
+                jnp.asarray(pts_world), sp, jnp.asarray(radii),
+            )
+            k = pts_smpl.shape[0]
+            alpha = np.asarray(alpha)[:k]
+            dist = np.asarray(dist)[:k]
+            vidx = np.asarray(vidx)[:k]
+            cov = np.asarray(cov)[:k]
+            sig = alpha > alpha_eps
+            if rnd == 0:
+                n_sig += int(sig.sum())
+                n_total += k
+            miss = sig & ~cov
+            uncovered += int(miss.sum())
+            np.maximum.at(radii, vidx[miss], dist[miss])
+        uncovered_per_round.append(uncovered)
+        if rnd > 0 and uncovered == 0:
+            break
     radii = np.clip(radii + margin, min_radius, pipe.cull_distance)
     report = {
         "poses": len(items),
-        "probes_per_pose": n_total // max(len(items), 1),
+        "probes_per_pose_per_round": per_vertex * nv,
+        "rounds": len(uncovered_per_round),
+        "uncovered_per_round": uncovered_per_round,
+        "certified": uncovered_per_round[-1] == 0,
         "significant_frac": round(n_sig / max(n_total, 1), 4),
         "alpha_eps": alpha_eps,
         "margin_m": margin,
@@ -167,8 +201,8 @@ def report_deltas(pipe, params, radii, items):
     tight = RenderPipeline.__new__(RenderPipeline)
     tight.__dict__.update(pipe.__dict__)
     tight.vertex_radii = np.asarray(radii, np.float32)
-    tight.cull_assign = None  # rebuild prefilter tables for the new reach
-    tight.cull_pool = None
+    # the fine cull partition (cull_assign/cull_pool) is geometry-only —
+    # radii enter _prefilter_tables per call — so the clone SHARES it
 
     base_fn = jax.jit(pipe.render_frame_dense)
     tight_fn = jax.jit(tight.render_frame_dense)
