@@ -40,6 +40,36 @@ def test_frame_shard_covers_all_frames_disjointly(monkeypatch):
     assert sorted(seen) == list(range(11))
 
 
+def test_process_shard_tiny_dataset_pads_by_cycling(monkeypatch):
+    """pad > n_items (tiny dataset on many hosts): every process must still
+    get exactly `per` VALID indices — the old single idx[:pad] concat left
+    trailing processes with short/empty shards, misaligning the collective
+    batch assembly across ranks."""
+    import jax
+
+    from transhuman_tpu.parallel.mesh import process_shard
+
+    monkeypatch.setattr(jax, "process_count", lambda: 8)
+    got = []
+    for i in range(8):
+        monkeypatch.setattr(jax, "process_index", lambda i=i: i)
+        s = process_shard(3)
+        assert s.shape == (1,)
+        assert 0 <= int(s[0]) < 3
+        got.append(int(s[0]))
+    assert set(got) == {0, 1, 2}  # all items covered by some process
+
+
+def test_make_mesh_rejects_oversized_axis():
+    import jax
+    import pytest
+
+    from transhuman_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="mesh_axis_data"):
+        make_mesh(len(jax.devices()) + 1)
+
+
 def test_gather_positioned_single_process_sorts_by_position():
     assert gather_positioned([3.0, 1.0, 2.0], [2, 0, 1]) == [1.0, 2.0, 3.0]
     assert gather_positioned([], []) == []

@@ -41,11 +41,12 @@ def make_sharded_render(pipe, mesh: Mesh, dense: bool = False):
     )
 
     def render(params, frame, rays):
-        sharded = NamedSharding(mesh, P("data"))
+        # pytree-level device_put: one batched transfer per tree, not one
+        # dispatch per leaf (this runs per FRAME on the eval path)
+        rays = jax.device_put(rays, NamedSharding(mesh, P("data")))
         rep = NamedSharding(mesh, P())
-        rays = jax.tree.map(lambda x: jax.device_put(x, sharded), rays)
-        params = jax.tree.map(lambda x: jax.device_put(x, rep), params)
-        frame = jax.tree.map(lambda x: jax.device_put(x, rep), frame)
+        params = jax.device_put(params, rep)
+        frame = jax.device_put(frame, rep)
         return fn(params, frame, rays)
 
     return render, pad_multiple

@@ -26,6 +26,14 @@ def make_mesh(n_data: Optional[int] = None, devices=None) -> Mesh:
     """1-D data-parallel mesh ('data',). n_data defaults to all devices."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is not None:
+        if len(devices) < n_data:
+            # silent truncation would run a SMALLER global batch than
+            # configured (and, multihost, could build a mesh excluding the
+            # caller's own chips); make_tp_mesh/make_pp_mesh raise too
+            raise ValueError(
+                f"mesh_axis_data={n_data} but only {len(devices)} devices "
+                "are available"
+            )
         devices = devices[:n_data]
     return Mesh(np.array(devices), ("data",))
 
@@ -41,7 +49,11 @@ def shard_batch(mesh: Mesh, batch):
     """
     sharding = NamedSharding(mesh, P("data"))
     if jax.process_count() == 1:
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        # ONE pytree-level device_put: jax batches the per-leaf transfers
+        # in a single dispatch (a per-leaf tree.map pays per-leaf dispatch
+        # overhead on every training batch — host path is the bottleneck
+        # on small-core hosts)
+        return jax.device_put(batch, sharding)
 
     n_proc = jax.process_count()
 
@@ -54,8 +66,7 @@ def shard_batch(mesh: Mesh, batch):
 
 
 def replicate(mesh: Mesh, tree):
-    sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
 def gather_positioned(values, positions):
@@ -101,8 +112,10 @@ def process_shard(n_items: int, shuffle_rng: Optional[np.random.Generator] = Non
         shuffle_rng.shuffle(idx)
     n_proc = jax.process_count()
     per = int(np.ceil(n_items / n_proc))
-    # pad by wrapping so every process gets `per` items (keeps steps aligned)
-    pad = per * n_proc - n_items
-    if pad:
-        idx = np.concatenate([idx, idx[:pad]])
+    # pad by CYCLING so every process gets exactly `per` items (keeps steps
+    # aligned).  np.resize repeats the whole sequence as many times as
+    # needed — a single idx[:pad] concat breaks when pad > n_items (tiny
+    # dataset on many hosts: trailing processes got short/EMPTY shards and
+    # the collective batch assembly misaligned across ranks)
+    idx = np.resize(idx, per * n_proc)
     return idx[jax.process_index() * per : (jax.process_index() + 1) * per]

@@ -15,8 +15,12 @@ ONE `lax.scan` over n_micro + n_stages - 1 ticks, so `jax.grad` of the
 scanned forward IS the pipelined backward — the scan's VJP runs the ticks
 in reverse and the transpose of the (i -> i+1) ppermute is the (i+1 -> i)
 ppermute, i.e. cotangents hop backwards through the same ring.  GPipe
-semantics (all-forward then all-backward per microbatch group, activations
-rematerialized by the scan VJP) with zero schedule code.
+schedule semantics (all-forward then all-backward per microbatch group)
+with zero schedule code.  Memory note: the scan VJP SAVES each tick's
+intra-block residuals (it does not rematerialize) — per-device activation
+memory scales down with n_stages via residual storage, and for tighter
+budgets wrap the decode in `jax.checkpoint` at the call site (the train
+path's `remat` knob pattern).
 
 Scope: this transforms the ViT token-refinement stage only — the stage
 whose parameter memory scales with `cfg.vit_variant`.  It is deliberately
@@ -105,26 +109,17 @@ def shard_pp_params(mesh: Mesh, pp_params, tp_axis: str | None = None):
         def stage_spec(path, leaf):
             return P("pipe")
     else:
-        import re
-
-        from .tp import _TP_RULES, _path_str
+        from .tp import _path_str, match_tp_axes
 
         n_tp = mesh.shape[tp_axis]
 
         def stage_spec(path, leaf):
-            s = _path_str(path)
-            for pat, sp in _TP_RULES:
-                if re.search(pat, s):
-                    # shift the raw-param spec past the (stage, block) dims
-                    axes = tuple(
-                        tp_axis if ax == "model" else ax for ax in sp
-                    )
-                    divisible = all(
-                        ax is None or leaf.shape[2 + i] % n_tp == 0
-                        for i, ax in enumerate(axes)
-                    )
-                    if divisible:
-                        return P("pipe", None, *axes)
+            # shared rule match (tp.py), param dims shifted past the
+            # (stage, block) stacking dims
+            axes = match_tp_axes(_path_str(path), leaf, n_tp,
+                                 axis_name=tp_axis, dim_offset=2)
+            if axes is not None:
+                return P("pipe", None, *axes)
             return P("pipe")
 
     def put_stage(path, x):

@@ -73,22 +73,33 @@ def _path_str(path) -> str:
     )
 
 
+def match_tp_axes(path_str: str, leaf, n_shard: int, axis_name: str = "model",
+                  dim_offset: int = 0):
+    """The ONE implementation of the Megatron rule match + divisibility
+    check, shared by tp_param_specs (raw params, dim_offset=0) and
+    pp.shard_pp_params (stacked (S, per, ...) stage leaves, dim_offset=2) —
+    a rule edit here reaches both layouts.  Returns the axes tuple for the
+    param dims (with 'model' renamed to axis_name) or None."""
+    for pat, sp in _TP_RULES:
+        if re.search(pat, path_str):
+            axes = tuple(axis_name if ax == "model" else ax for ax in sp)
+            divisible = all(
+                ax is None or leaf.shape[dim_offset + i] % n_shard == 0
+                for i, ax in enumerate(axes)
+            )
+            if divisible:
+                return axes
+    return None
+
+
 def tp_param_specs(params, mesh: Mesh):
     """PartitionSpec pytree for `params`: TP rules where the sharded dim
     divides the 'model' axis size, replicated otherwise."""
     n_model = mesh.shape["model"]
 
     def spec(path, leaf):
-        s = _path_str(path)
-        for pat, sp in _TP_RULES:
-            if re.search(pat, s):
-                divisible = all(
-                    ax is None or leaf.shape[i] % n_model == 0
-                    for i, ax in enumerate(sp)
-                )
-                if divisible:
-                    return sp
-        return P()
+        axes = match_tp_axes(_path_str(path), leaf, n_model)
+        return P(*axes) if axes is not None else P()
 
     return jax.tree_util.tree_map_with_path(spec, params)
 
@@ -116,7 +127,9 @@ def shard_train_state(mesh: Mesh, state: TrainState) -> TrainState:
     def put_opt(path, x):
         s = _path_str(path)
         for k, sp in by_path.items():
-            if s.endswith(k):
+            # '/'-boundary suffix match: a bare endswith would let
+            # 'cross_attn/qkv/kernel' steal 'attn/qkv/kernel''s spec
+            if s == k or s.endswith("/" + k):
                 return put(x, sp)
         return put(x, P())
 
