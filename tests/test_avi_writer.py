@@ -5,6 +5,8 @@ offsets, and a JPEG roundtrip of the stored frames."""
 import os
 import struct
 
+import pytest
+
 import imageio.v2 as imageio
 import numpy as np
 
@@ -146,3 +148,36 @@ def test_frames_to_video_fallback(tmp_path, monkeypatch):
     assert out.endswith(".avi") and os.path.exists(out)
     p = parse_avi(out)
     assert len(p["frames"]) == 5
+
+
+def test_encode_jpeg_uint16_and_bad_dtype():
+    """Dtype-aware scaling (a blanket float path mapped every uint16 pixel
+    >= 1 to 255 — near-solid-white output); unsupported ints reject."""
+    from transhuman_tpu.viz.avi import encode_jpeg
+
+    a16 = (np.linspace(0, 65535, 24 * 32 * 3).reshape(24, 32, 3)
+           .astype(np.uint16))
+    dec = imageio.imread(encode_jpeg(a16)).astype(np.float32)
+    ref = (a16 >> 8).astype(np.float32)
+    assert np.abs(dec - ref).mean() < 8.0  # jpeg-lossy but tracks the ramp
+    with pytest.raises(ValueError, match="unsupported frame dtype"):
+        encode_jpeg(np.zeros((4, 4, 3), np.int32))
+
+
+def test_append_rejects_mismatched_frame_size(tmp_path):
+    from transhuman_tpu.viz.avi import MJPGWriter
+
+    with MJPGWriter(str(tmp_path / "v.avi"), 32, 24, 10) as w:
+        w.append(np.zeros((24, 32, 3), np.uint8))
+        with pytest.raises(ValueError, match="fixed-size"):
+            w.append(np.zeros((16, 32, 3), np.uint8))
+
+
+def test_frame_sort_is_numeric(tmp_path, monkeypatch):
+    """'frame10000' must sort after 'frame9999' (lexical order spliced
+    long sequences)."""
+    from transhuman_tpu.viz.video import _numeric_key
+
+    names = [f"frame{i:04d}.png" for i in (9998, 9999, 10000, 10001)]
+    shuffled = sorted(names, reverse=True)
+    assert sorted(shuffled, key=_numeric_key) == names

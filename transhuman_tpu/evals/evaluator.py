@@ -91,8 +91,9 @@ class Evaluator:
                 f"human={human} frame={frame_index} cam={cam_ind}"
             )
 
-        self.mse.append(metrics.mse(rgb_pred, rgb_gt))
-        self.psnr.append(metrics.psnr(rgb_pred, rgb_gt))
+        frame_mse = metrics.mse(rgb_pred, rgb_gt)
+        self.mse.append(frame_mse)
+        self.psnr.append(metrics.psnr(rgb_pred, rgb_gt, from_mse=frame_mse))
 
         img_pred = self._reconstruct(rgb_pred, mask_at_box, hw, white_bkgd)
         img_gt = self._reconstruct(rgb_gt, mask_at_box, hw, white_bkgd)
@@ -100,13 +101,16 @@ class Evaluator:
         crop_pred = img_pred[y : y + h, x : x + w]
         crop_gt = img_gt[y : y + h, x : x + w]
 
-        self.ssim.append(
-            metrics.ssim(crop_pred, crop_gt, data_range=self.ssim_data_range)
+        # one moment pass for BOTH data_ranges (the cv2.blur filters are
+        # the dominant SSIM cost on the host-bound eval loop): headline
+        # column keeps data_range=2.0 (the skimage float default the
+        # reference's published numbers use); ssim_dr1 is the
+        # strictly-correct [0,1]-image convention
+        s_head, s_dr1 = metrics.ssim_multi(
+            crop_pred, crop_gt, (self.ssim_data_range, 1.0)
         )
-        # also the strictly-correct [0,1]-image convention, to avoid metric
-        # confusion: the headline column keeps data_range=2.0 (the skimage
-        # float default the reference's published numbers use)
-        self.ssim_dr1.append(metrics.ssim(crop_pred, crop_gt, data_range=1.0))
+        self.ssim.append(s_head)
+        self.ssim_dr1.append(s_dr1)
         if self.lpips_fn is not None:
             a = crop_pred[None] * 2.0 - 1.0
             b = crop_gt[None] * 2.0 - 1.0

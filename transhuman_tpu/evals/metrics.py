@@ -18,8 +18,12 @@ def mse(pred: np.ndarray, gt: np.ndarray) -> float:
     return float(np.mean((pred - gt) ** 2))
 
 
-def psnr(pred: np.ndarray, gt: np.ndarray) -> float:
-    return float(-10.0 * np.log10(np.mean((pred - gt) ** 2)))
+def psnr(pred: np.ndarray, gt: np.ndarray, *, from_mse=None) -> float:
+    """-10*log10(mse); pass from_mse to reuse an already-computed mean
+    squared error instead of re-reducing the full arrays (the evaluator
+    computes mse immediately before psnr on the same (R,3) buffers)."""
+    m = mse(pred, gt) if from_mse is None else from_mse
+    return float(-10.0 * np.log10(m))
 
 
 def _uniform_filter(x: np.ndarray, win: int) -> np.ndarray:
@@ -30,15 +34,21 @@ def _uniform_filter(x: np.ndarray, win: int) -> np.ndarray:
     return cv2.blur(x, (win, win), borderType=cv2.BORDER_REFLECT)
 
 
-def ssim(
+def ssim_multi(
     pred: np.ndarray,
     gt: np.ndarray,
-    data_range: float = 2.0,
+    data_ranges=(2.0,),
     win_size: int = 7,
     K1: float = 0.01,
     K2: float = 0.03,
-) -> float:
-    """pred/gt: (H, W) or (H, W, C) float images.
+):
+    """SSIM at SEVERAL data_ranges sharing one set of filtered moments.
+
+    The five cv2.blur moment filters per channel dominate the cost; the
+    data_range enters only through the C1/C2 constants, so evaluating both
+    the reference's 2.0 quirk and the correct 1.0 convention per frame
+    costs one moment pass, not two (the eval loop is host-bound).  Returns
+    a list of floats aligned with `data_ranges`.
 
     Raises ValueError when either image extent is smaller than `win_size`
     (the border-cropped SSIM map would be empty -> NaN-with-RuntimeWarning);
@@ -52,14 +62,13 @@ def ssim(
             f"{win_size}x{win_size} window (empty or degenerate crop)"
         )
     if pred.ndim == 3:
-        return float(
-            np.mean(
-                [
-                    ssim(pred[..., c], gt[..., c], data_range, win_size, K1, K2)
-                    for c in range(pred.shape[-1])
-                ]
-            )
-        )
+        per_c = [
+            ssim_multi(pred[..., c], gt[..., c], data_ranges, win_size,
+                       K1, K2)
+            for c in range(pred.shape[-1])
+        ]
+        return [float(np.mean([pc[i] for pc in per_c]))
+                for i in range(len(data_ranges))]
     np_win = win_size * win_size
     cov_norm = np_win / (np_win - 1)
     ux = _uniform_filter(pred, win_size)
@@ -70,10 +79,25 @@ def ssim(
     vx = cov_norm * (uxx - ux * ux)
     vy = cov_norm * (uyy - uy * uy)
     vxy = cov_norm * (uxy - ux * uy)
-    C1 = (K1 * data_range) ** 2
-    C2 = (K2 * data_range) ** 2
-    S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / (
-        (ux**2 + uy**2 + C1) * (vx + vy + C2)
-    )
     pad = (win_size - 1) // 2
-    return float(S[pad:-pad, pad:-pad].mean())
+    out = []
+    for data_range in data_ranges:
+        C1 = (K1 * data_range) ** 2
+        C2 = (K2 * data_range) ** 2
+        S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / (
+            (ux**2 + uy**2 + C1) * (vx + vy + C2)
+        )
+        out.append(float(S[pad:-pad, pad:-pad].mean()))
+    return out
+
+
+def ssim(
+    pred: np.ndarray,
+    gt: np.ndarray,
+    data_range: float = 2.0,
+    win_size: int = 7,
+    K1: float = 0.01,
+    K2: float = 0.03,
+) -> float:
+    """pred/gt: (H, W) or (H, W, C) float images (see ssim_multi)."""
+    return ssim_multi(pred, gt, (data_range,), win_size, K1, K2)[0]

@@ -38,12 +38,23 @@ AVIIF_KEYFRAME = 0x00000010
 
 
 def encode_jpeg(arr, quality: int = 95) -> bytes:
-    """(H, W, 3) uint8 (or float in [0,1]) -> JPEG bytes."""
+    """(H, W, 3) uint8 / uint16 / float-in-[0,1] -> JPEG bytes.
+
+    Dtype-aware: a blanket float-scale corrupted integer inputs (every
+    uint16 pixel >= 1 clipped to 255 — near-solid-white output from 16-bit
+    PNGs); unsupported dtypes now reject loudly instead."""
     import imageio.v2 as imageio
     import numpy as np
 
     a = np.asarray(arr)
-    if a.dtype != np.uint8:
+    if a.dtype == np.uint16:
+        a = (a >> 8).astype(np.uint8)
+    elif a.dtype != np.uint8:
+        if not np.issubdtype(a.dtype, np.floating):
+            raise ValueError(
+                f"unsupported frame dtype {a.dtype}: pass uint8, uint16, "
+                "or float in [0, 1]"
+            )
         a = (np.clip(a, 0.0, 1.0) * 255).astype(np.uint8)
     if a.ndim == 2:
         a = np.repeat(a[..., None], 3, axis=-1)
@@ -110,10 +121,29 @@ class MJPGWriter:
 
     # -- frames ------------------------------------------------------------
     def append(self, frame):
-        """Append one (H, W, 3) frame (uint8 or float in [0, 1])."""
+        """Append one (H, W, 3) frame (uint8/uint16 or float in [0, 1])."""
+        import numpy as np
+
+        fh, fw = np.asarray(frame).shape[:2]
+        if (fh, fw) != (self.h, self.w):
+            # the header declares frame-0 dims; a mismatched frame would
+            # write silently and garble strict players at playback time
+            raise ValueError(
+                f"frame is {fh}x{fw} but the stream was opened as "
+                f"{self.h}x{self.w} (AVI streams are fixed-size; resize or "
+                "pad frames before appending)"
+            )
         jpg = encode_jpeg(frame, self.quality)
         # idx1 offsets are relative to the 'movi' fourcc (first chunk -> 4)
         off = self._fh.tell() - self._movi_start - 8
+        if off + len(jpg) + len(self._index) * 16 > 0xFFFF0000:
+            # 32-bit RIFF size fields: crossing 4 GiB would only fail at
+            # close(), AFTER all the encoding work, leaving an unplayable
+            # placeholder-header file
+            raise ValueError(
+                "AVI output would exceed the container's 4 GiB limit; "
+                "lower quality/fps or split the sequence"
+            )
         self._index.append((off, len(jpg)))
         self._max_chunk = max(self._max_chunk, len(jpg))
         self._fh.write(b"00dc" + struct.pack("<I", len(jpg)) + jpg)

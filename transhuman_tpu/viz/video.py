@@ -3,9 +3,18 @@
 from __future__ import annotations
 
 import os
+import re
+import sys
 from typing import List
 
 import numpy as np
+
+
+def _numeric_key(name: str):
+    """Natural sort key: 'frame10000.png' must come AFTER 'frame9999.png'
+    even when the zero padding widens past %04d (lexical sort would splice
+    frames 10000+ before 9999 in very long sequences)."""
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", name)]
 
 
 def frames_to_video(frame_dir: str, out_path: str, fps: int = 30) -> str:
@@ -14,7 +23,8 @@ def frames_to_video(frame_dir: str, out_path: str, fps: int = 30) -> str:
     dependency-free MJPG/AVI writer (`viz/avi.py`), returning the actual
     path written (`.avi` in the fallback)."""
     frames: List[str] = sorted(
-        f for f in os.listdir(frame_dir) if f.endswith(".png")
+        (f for f in os.listdir(frame_dir) if f.endswith(".png")),
+        key=_numeric_key,
     )
     if not frames:
         raise ValueError(f"no frames in {frame_dir}")
@@ -26,7 +36,13 @@ def frames_to_video(frame_dir: str, out_path: str, fps: int = 30) -> str:
             for f in paths:
                 w.append_data(imageio.imread(f))
         return out_path
-    except Exception:
+    except Exception as e:
+        # Surface WHAT failed before falling back: the mp4 attempt can die
+        # for reasons other than a missing ffmpeg backend (corrupt frame,
+        # odd h264 dimensions, mixed sizes) and silently re-encoding as AVI
+        # would send the user debugging a nonexistent ffmpeg problem.
+        print(f"mp4 encode failed ({type(e).__name__}: {e}); "
+              "falling back to MJPG/AVI", file=sys.stderr)
         # imageio creates/truncates out_path before the first append; a
         # partial mp4 next to the fallback avi would look like the artifact
         if os.path.exists(out_path):
@@ -46,7 +62,8 @@ def frames_to_video(frame_dir: str, out_path: str, fps: int = 30) -> str:
         first = rgb(imageio.imread(paths[0]))
         avi_path = os.path.splitext(out_path)[0] + ".avi"
         with MJPGWriter(avi_path, first.shape[1], first.shape[0], fps) as w:
-            for f in paths:
+            w.append(first)  # frame 0 already decoded for the dims
+            for f in paths[1:]:
                 w.append(rgb(imageio.imread(f)))
         return avi_path
 
