@@ -83,6 +83,34 @@ def test_jit_method_rekeys_on_scalar_attr_change():
     assert jit_method(p, "f") is f1  # old snapshot key still cached
 
 
+def test_lru_rejects_bare_none():
+    """get() signals a miss with None — a stored bare None would be a
+    permanent 100% miss; the cache rejects it with guidance."""
+    import pytest
+
+    c = ByteLRU(max_bytes=64)
+    with pytest.raises(ValueError, match="wrap the marker in a tuple"):
+        c.put("k", None)
+    c.put("k", (None, None))  # tuple-wrapped markers are fine
+    assert c.get("k") == (None, None)
+
+
+def test_profiling_helpers_smoke():
+    """device_trace/Stopwatch sinks force a scalar readback of appended
+    device outputs (axon-tunnel timing discipline)."""
+    import jax.numpy as jnp
+
+    from transhuman_tpu.utils.profiling import Stopwatch
+
+    sw = Stopwatch()
+    with sw("scope") as sink:
+        sink.append({"x": jnp.ones(3)})
+    assert sw.counts["scope"] == 1 and sw.totals["scope"] >= 0.0
+    with sw("host_only"):
+        pass
+    assert sw.counts["host_only"] == 1
+
+
 def test_lru_thread_safety_smoke():
     c = ByteLRU(max_bytes=64)
     errs = []

@@ -86,3 +86,29 @@ def test_async_roundtrip_pickle_identical_to_sync(tmp_path):
         s = pickle.load(f)
     assert a["epoch"] == s["epoch"]
     np.testing.assert_array_equal(a["params"]["w"], s["params"]["w"])
+
+
+def test_async_backpressure_bounds_pending(tmp_path, monkeypatch):
+    """Each pending save holds a full host snapshot; a disk slower than the
+    save cadence must block the caller instead of accumulating snapshots
+    without bound (cap: 2 queued)."""
+    import time as _time
+
+    import transhuman_tpu.train.checkpoint as ck
+
+    slow = {"n": 0}
+    real = ck._write_blobs
+
+    def slow_write(*a, **k):
+        slow["n"] += 1
+        _time.sleep(0.2)
+        return real(*a, **k)
+
+    monkeypatch.setattr(ck, "_write_blobs", slow_write)
+    c = ck.AsyncCheckpointer()
+    payload = {"params": {"w": np.ones(4, np.float32)}, "step": 0}
+    for e in range(5):
+        c.save(str(tmp_path), payload, e, save_epoch_copy=False)
+        assert len(c._pending) <= 2
+    c.wait()
+    assert slow["n"] == 5

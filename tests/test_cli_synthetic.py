@@ -38,6 +38,23 @@ def test_synthetic_train_then_evaluate(tmp_path):
     assert summary["mse"] is not None and summary["mse"] >= 0
 
 
+def test_synthetic_train_with_cull(tmp_path):
+    """cfg.train.cull wires through the CLI: the culled+compacted training
+    decode runs end-to-end, reports the overflow stat, and checkpoints."""
+    from transhuman_tpu.cli import train as train_cli
+
+    argv = _argv(tmp_path) + [
+        "train.cull", "True",
+        "train.cull_ratio", "0.9",  # generous at this tiny scale
+        "cull_distance", "0.5",  # synthetic body: keep some survivors
+    ]
+    state = train_cli.main(argv)
+    assert int(state.step) == 2
+    import os
+
+    assert os.path.exists(str(tmp_path / "model"))
+
+
 def test_synthetic_train_tensor_parallel(tmp_path):
     """mesh_axis_model=2 routes the train CLI through the GSPMD TP step
     (('data','model') mesh, parallel/tp.py): train, checkpoint (sharded

@@ -162,3 +162,55 @@ def test_recorder_disabled_writes_nothing(tmp_path):
     rec.record_image("x", np.zeros((2, 2), np.uint8))
     rec.close()
     assert not list(tmp_path.iterdir())
+
+
+def test_crc32c_native_matches_python(monkeypatch):
+    """native/crc32c.cc (SSE4.2 / slicing-by-8) must be bit-identical to
+    the pure-Python table loop on arbitrary buffers incl. NUL bytes."""
+    import transhuman_tpu.utils.tb_writer as tbw
+
+    fn = tbw._crc_native()
+    if fn is None:
+        pytest.skip("native crc32c not buildable here")
+
+    def py_crc(data):
+        tab = tbw._crc_table()
+        c = 0xFFFFFFFF
+        for b in data:
+            c = tab[(c ^ b) & 0xFF] ^ (c >> 8)
+        return c ^ 0xFFFFFFFF
+
+    rng = np.random.default_rng(0)
+    for n in (0, 1, 7, 8, 9, 63, 1024, 100_003):
+        buf = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert int(fn(buf, len(buf))) == py_crc(buf)
+
+
+def test_add_image_grayscale(tmp_path):
+    """Regression: a 2-D image crashed _encode_image (pillow rejects
+    (H, W, 1)); grayscale must encode with colorspace=1."""
+    w = TBWriter(str(tmp_path))
+    img = np.arange(4 * 6, dtype=np.uint8).reshape(4, 6)
+    w.add_image("depth", img, step=1)
+    w.close()
+    evs = _events(w.path)
+    im = evs[1][2]["depth"]
+    assert im[1] == 4 and im[2] == 6 and im[3] == 1
+    import imageio.v2 as imageio
+
+    back = imageio.imread(io.BytesIO(im[4]))
+    np.testing.assert_array_equal(np.asarray(back).reshape(4, 6), img)
+
+
+def test_two_writers_same_second_distinct_files(tmp_path):
+    """Regression: the filename had 1-second resolution and no pid/uid —
+    two writers in the same second append-interleaved into ONE file."""
+    w1 = TBWriter(str(tmp_path))
+    w2 = TBWriter(str(tmp_path))
+    assert w1.path != w2.path
+    w1.add_scalar("a", 1.0, 0)
+    w2.add_scalar("b", 2.0, 0)
+    w1.close()
+    w2.close()
+    assert _events(w1.path)[1][1] == {"a": pytest.approx(1.0)}
+    assert _events(w2.path)[1][1] == {"b": pytest.approx(2.0)}

@@ -12,6 +12,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 SOURCES = {
     "marching": "marching_tet.cc",
     "rasterize": "rasterize.cc",
+    "crc32c": "crc32c.cc",
 }
 
 

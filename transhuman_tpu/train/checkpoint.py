@@ -101,6 +101,14 @@ class AsyncCheckpointer:
         all-gather that all processes must join."""
         self._drain(block=False)
 
+        # backpressure: each pending save holds a full host snapshot of the
+        # train state (params + Adam moments — hundreds of MB at scale); a
+        # disk slower than the save cadence would otherwise accumulate one
+        # snapshot per epoch without bound.  Block on the OLDEST write once
+        # 2 are queued: the train loop stalls rather than the host OOMing.
+        while len(self._pending) >= 2:
+            self._pending.pop(0).result()
+
         # snapshot NOW, with a forced copy: device_get is zero-copy for
         # host-resident leaves, and the caller (or a donating train step)
         # may overwrite the live buffers before the worker pickles them

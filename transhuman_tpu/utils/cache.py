@@ -66,6 +66,15 @@ class ByteLRU:
             return hit
 
     def put(self, key, value):
+        if value is None:
+            # get() signals a miss with None, so a stored bare None would
+            # look like a permanent miss and be recomputed forever; store
+            # an 'absent' marker inside a tuple instead (zju's undistort
+            # cache stores (None, None), for example)
+            raise ValueError(
+                "ByteLRU cannot store bare None (indistinguishable from a "
+                "miss); wrap the marker in a tuple"
+            )
         _freeze(value)
         nb = _nbytes(value)
         with self._lock:

@@ -32,6 +32,7 @@ from typing import Optional
 # ---------------------------------------------------------------- crc32c
 
 _CRC_TABLE = []
+_CRC_NATIVE = 0  # 0 = untried, None = unbuildable, else the ctypes fn
 
 
 def _crc_table():
@@ -48,7 +49,36 @@ def _crc_table():
     return _CRC_TABLE
 
 
+def _crc_native():
+    """ctypes handle to native/crc32c.cc (SSE4.2 CRC32 instruction where
+    -march=native allows, slicing-by-8 otherwise): image records are
+    hundreds of KB and the pure-Python per-byte loop costs tens of ms per
+    add_image on a 1-core host.  None when g++ is unavailable — the Python
+    loop below stays the fallback (bit-identical, cross-tested)."""
+    global _CRC_NATIVE
+    if _CRC_NATIVE == 0:
+        import ctypes
+
+        try:
+            from ..native import load_library
+
+            lib = load_library("crc32c")
+        except Exception:
+            lib = None
+        if lib is None:
+            _CRC_NATIVE = None
+        else:
+            fn = lib.crc32c_raw
+            fn.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+            fn.restype = ctypes.c_uint32
+            _CRC_NATIVE = fn
+    return _CRC_NATIVE
+
+
 def crc32c(data: bytes) -> int:
+    fn = _crc_native()
+    if fn is not None:
+        return int(fn(data, len(data)))
     tab = _crc_table()
     c = 0xFFFFFFFF
     for b in data:
@@ -107,8 +137,12 @@ def _encode_image(arr) -> bytes:
     if a.dtype != np.uint8:
         a = (np.clip(a, 0.0, 1.0) * 255).astype(np.uint8)
     if a.ndim == 2:
-        a = a[..., None]
-    h, w, c = a.shape
+        # keep the 2-D shape for the encoder: pillow rejects (H, W, 1)
+        # ("can't write images with one color channel") but writes plain
+        # 2-D grayscale fine; the proto records colorspace=1 either way
+        h, w, c = a.shape + (1,)
+    else:
+        h, w, c = a.shape
     png = imageio.imwrite("<bytes>", a, format="png")
     return (
         _pb_varint(1, h)
@@ -133,10 +167,18 @@ class TBWriter:
     """Append-only scalar/image event stream (tensorboardX SummaryWriter
     analog for the two calls the reference makes: add_scalar, add_image)."""
 
+    _uid = 0  # per-process counter (see filename note below)
+
     def __init__(self, log_dir: str, filename_suffix: str = ""):
         os.makedirs(log_dir, exist_ok=True)
-        name = "events.out.tfevents.%010d.%s%s" % (
-            int(time.time()), socket.gethostname(), filename_suffix,
+        # pid + per-process uid in the name, like TF's own writer: two
+        # writers created in the same SECOND in the same log_dir (train
+        # loop + validate(), fast tests) would otherwise append-interleave
+        # into one file and split TFRecords across flush boundaries
+        TBWriter._uid += 1
+        name = "events.out.tfevents.%010d.%s.%d.%d%s" % (
+            int(time.time()), socket.gethostname(), os.getpid(),
+            TBWriter._uid, filename_suffix,
         )
         self.path = os.path.join(log_dir, name)
         self._fh: Optional[object] = open(self.path, "ab")
