@@ -241,7 +241,36 @@ def bench_train_step():
         times.append((time.perf_counter() - t0) / n_chain)
     flops, hbm = _cost_analysis(
         step, state, batch, jax.random.PRNGKey(2))
-    return float(np.median(times)), flops, hbm
+
+    # opt-in culled-training row (cfg.train.cull, docs/SCALING.md): same
+    # step with the decode culled+compacted at ratio 0.25 — a deliberate
+    # semantics change (off-body points get no gradient), reported as a
+    # separate field, overflow-asserted
+    from transhuman_tpu.render.pipeline import RenderPipeline
+
+    pipe_c = RenderPipeline.__new__(RenderPipeline)
+    pipe_c.__dict__.update(pipe.__dict__)
+    pipe_c.train_cull = True
+    pipe_c.train_cull_ratio = 0.25
+    step_c = make_train_step(pipe_c, tx, lpips_fn=lpips_fn, donate=False)
+    state_c, stats_c = step_c(init_state(params, tx), batch,
+                              jax.random.PRNGKey(0))
+    float(stats_c["loss"])
+    assert float(stats_c["overflow"]) == 0.0, "train.cull capacity clipped"
+    times_c = []
+    for r in range(n_rep):
+        t0 = time.perf_counter()
+        for i in range(n_chain):
+            state_c, stats_c = step_c(
+                state_c, batch,
+                jax.random.fold_in(jax.random.PRNGKey(3), r * n_chain + i),
+            )
+        float(stats_c["loss"])
+        times_c.append((time.perf_counter() - t0) / n_chain)
+
+    return (float(np.median(times)), flops, hbm,
+            {"train_step_sec_culled_0.25": round(float(np.median(times_c)),
+                                                 4)})
 
 
 def bench_eval_protocol(n_frames=6):
@@ -307,7 +336,7 @@ def bench_eval_protocol(n_frames=6):
 def main():
     (rays_per_sec, render_dt, render_flops, render_hbm,
      radii_fields) = bench_render()
-    train_step_sec, train_flops, train_hbm = bench_train_step()
+    train_step_sec, train_flops, train_hbm, cull_fields = bench_train_step()
     eval_fps = bench_eval_protocol()
     fields = {
         "metric": "rays_per_sec_512x512_render",
@@ -328,6 +357,7 @@ def main():
         "peaks": "v5e: 197 TFLOP/s bf16, 819 GB/s HBM",
     }
     fields.update(radii_fields)
+    fields.update(cull_fields)
     fields.update(_roofline_fields("render", render_dt, render_flops,
                                    render_hbm))
     fields.update(_roofline_fields("train", train_step_sec, train_flops,
