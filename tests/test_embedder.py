@@ -3,6 +3,7 @@ reimplementations of the reference formulas (embedder.py and
 vision_transformer.PositionalEncoding)."""
 
 import numpy as np
+import pytest
 import torch
 
 from transhuman_tpu.models import embedder as emb
@@ -68,6 +69,12 @@ def test_vit_pos_embed_matches_reference(rng):
     np.testing.assert_allclose(got[:, : 6 * 12], want[:, : 6 * 12], atol=1e-3)
     np.testing.assert_allclose(got[:, : 6 * 16], want[:, : 6 * 16], atol=5e-2)
     assert np.isfinite(got).all() and (np.abs(got) <= 1.0 + 1e-6).all()
+
+
+def test_vit_pos_embed_rejects_bad_dim():
+    x = np.zeros((4, 3), dtype=np.float32)
+    with pytest.raises(ValueError, match="embed_dim % 6"):
+        emb.embed_vit_pos(x, 100)
 
 
 def test_batched_shapes():

@@ -71,6 +71,37 @@ def test_lins_only_without_backbone_is_loud(tmp_path):
         load_lpips_params(str(lins_path))
 
 
+def test_backbone_only_without_lins_is_loud(tmp_path):
+    """A convs-only npz (exactly what converting just the torchvision
+    backbone produces) must fail at load time, not KeyError inside the
+    first jitted lpips_distance trace."""
+    params = init_lpips_params(jax.random.PRNGKey(0))
+    path = tmp_path / "backbone_only.npz"
+    _save_npz(path, {k: v for k, v in params.items() if k.startswith("conv")})
+    with pytest.raises(ValueError, match="calibration heads"):
+        load_lpips_params(str(path))
+
+
+def test_unit_norm_matches_vendored_eps_placement():
+    """_unit_norm follows the vendored normalize_tensor exactly
+    (sqrt(sum+eps)+eps in the denominator) — for a near-dead feature the
+    upstream-richzhang placement (sqrt(sum)+eps) differs measurably, so a
+    sloppy implementation would fail this pin."""
+    import torch
+
+    from transhuman_tpu.models.lpips import _unit_norm
+
+    rng = np.random.default_rng(7)
+    for scale in (1.0, 1e-5, 1e-12, 0.0):
+        x = (rng.standard_normal((4, 8)) * scale).astype(np.float32)
+        tx = torch.from_numpy(x)
+        want = tx / (torch.sqrt(tx.pow(2).sum(-1, keepdim=True) + 1e-10) + 1e-10)
+        np.testing.assert_allclose(
+            np.asarray(_unit_norm(x)), want.numpy(), rtol=1e-6, atol=1e-9,
+            err_msg=f"scale {scale}",
+        )
+
+
 def test_full_file_roundtrip(tmp_path):
     params = init_lpips_params(jax.random.PRNGKey(0))
     path = tmp_path / "full.npz"
@@ -220,7 +251,9 @@ def test_vgg16_backbone_conversion_drill(tmp_path):
         return outs
 
     def unit(z):
-        return z / torch.sqrt(z.pow(2).sum(1, keepdim=True) + 1e-10)
+        # vendored normalize_tensor (third_parties/lpips/__init__.py:40-42):
+        # eps inside the sqrt AND added to the norm factor
+        return z / (torch.sqrt(z.pow(2).sum(1, keepdim=True) + 1e-10) + 1e-10)
 
     tx = torch.from_numpy(x).permute(0, 3, 1, 2)
     ty = torch.from_numpy(y).permute(0, 3, 1, 2)

@@ -36,8 +36,8 @@ print("dist only      ", t(s_dist, chunks), flush=True)
 def s_weights(ch):
     def body(c):
         d2 = K.pairwise_dist2(c, centers)
-        w, d, i = K.dparf_dense_weights(d2, 7, 0.5)
-        return w.sum(1) + d.sum(1) + i.sum(1)
+        w, d, _, wk = K.dparf_dense_weights(d2, 7, 0.5)
+        return w.sum(1) + d.sum(1) + wk.sum(1)
     return jax.lax.map(body, ch)
 print("dist+weights   ", t(s_weights, chunks), flush=True)
 
@@ -45,7 +45,7 @@ print("dist+weights   ", t(s_weights, chunks), flush=True)
 def s_tok(ch):
     def body(c):
         d2 = K.pairwise_dist2(c, centers)
-        w, d, i = K.dparf_dense_weights(d2, 7, 0.5)
+        w, d, _, _ = K.dparf_dense_weights(d2, 7, 0.5)
         tok = jnp.einsum("nc,vcd->vnd", w, tokens)
         return tok.sum(axis=(0,2))
     return jax.lax.map(body, ch)
@@ -55,7 +55,8 @@ print("dist+w+tokmm   ", t(s_tok, chunks), flush=True)
 def s_gather(ch):
     def body(c):
         d2 = K.pairwise_dist2(c, centers)
-        w, d, idx = K.dparf_dense_weights(d2, 7, 0.5)
+        w, d, _, _ = K.dparf_dense_weights(d2, 7, 0.5)
+        idx = K.topk_min(d2, 7)[1]  # the row-gather variant being measured
         ck = jnp.take(centers, idx, axis=0)
         rk = jnp.take(rot, idx, axis=0)
         return ck.sum(axis=(1,2)) + rk.sum(axis=(1,2,3))
@@ -66,8 +67,8 @@ print("dist+w+gathers ", t(s_gather, chunks), flush=True)
 def s_pe(ch):
     def body(c):
         d2 = K.pairwise_dist2(c, centers)
-        w, dist, idx = K.dparf_dense_weights(d2, 7, 0.5)
-        wk = K.knn_softmax_weights(dist, 0.5)
+        w, dist, _, wk = K.dparf_dense_weights(d2, 7, 0.5)
+        idx = K.topk_min(d2, 7)[1]  # the row-gather variant being measured
         ck = jnp.take(centers, idx, axis=0)
         rk = jnp.take(rot, idx, axis=0)
         rel = c[:,None,:] - ck

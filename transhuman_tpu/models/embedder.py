@@ -65,7 +65,11 @@ def embed_vit_pos(x, embed_dim: int):
     """ViT token positional encoding of normalized canonical cluster centroids
     (vision_transformer.py:324,353-358): pi-scaled freqs, no input,
     embed_dim//6 freqs -> embed_dim channels."""
-    assert embed_dim % 6 == 0
+    if embed_dim % 6 != 0:
+        raise ValueError(
+            f"embed_vit_pos requires embed_dim % 6 == 0, got {embed_dim} "
+            "(each frequency contributes sin+cos over 3 coords)."
+        )
     return freq_encode(
         x, embed_dim // 6, freq_factor=float(np.pi), include_input=False
     )

@@ -63,20 +63,20 @@ def dparf_representation(
     176-180): True where the nearest cluster is closer than knn_sigma.
     """
     n = pts_smpl.shape[0]
-    c = cluster_centers.shape[0]
 
     # one streaming pass builds the kNN distances, the dense softmax weight
-    # matrix, AND the per-neighbour center/rotation rows (as one-hot MXU
-    # matmuls — XLA row gathers of these tiny rows were the DPaRF hot spot)
+    # matrix, the compact (N, k) weights, AND the per-neighbour center/rot
+    # rows (as one-hot MXU matmuls — XLA row gathers of these tiny rows were
+    # the DPaRF hot spot).  The PE aggregation reuses the pass's own w_knn so
+    # it can never diverge from the token aggregation's w_dense.
     c_rows = cluster_centers.shape[0]
     aux = jnp.concatenate(
         [cluster_centers, cluster_rot.reshape(c_rows, 9)], axis=1
     )  # (C, 12)
     d2 = knn_ops.pairwise_dist2(pts_smpl, cluster_centers, precision=precision)
-    w_dense, dist, aux_k = knn_ops.dparf_dense_weights(
+    w_dense, dist, aux_k, w = knn_ops.dparf_dense_weights(
         d2, k, dist_alpha, aux=aux, precision=precision
     )
-    w = knn_ops.knn_softmax_weights(dist, dist_alpha)  # (N, k) for the PE part
 
     keep_mask = None
     if knn_sigma is not None:
@@ -88,7 +88,7 @@ def dparf_representation(
     rel = pts_smpl[:, None, :] - centers_k
     local = jnp.einsum("nki,nkij->nkj", rel, rot_k, precision=precision)
     pe = embed_dparf(local, n_freqs)  # (N, k, 3+6*n_freqs)
-    pe_agg = jnp.einsum("nk,nkd->nd", w, pe)
+    pe_agg = jnp.einsum("nk,nkd->nd", w, pe, precision=precision)
 
     # token aggregation as one dense MXU matmul (no (V,N,k,D) token gather)
     tok_agg = jnp.einsum("nc,vcd->vnd", w_dense, tokens, precision=precision)

@@ -75,7 +75,12 @@ def _vgg_stages(params, x):
 
 
 def _unit_norm(x, eps=1e-10):
-    return x / jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True) + eps)
+    """Channel unit-norm, matching the vendored `normalize_tensor`
+    (third_parties/lpips/__init__.py:40-42) exactly: eps appears both inside
+    the sqrt AND added to the norm factor — `x / (sqrt(sum(x^2)+eps) + eps)`.
+    (The upstream richzhang LPIPS uses `sqrt(sum)+eps`; the reference vendors
+    the double-eps variant, and parity follows the vendored copy.)"""
+    return x / (jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True) + eps) + eps)
 
 
 def lpips_distance(params, x, y):
@@ -196,5 +201,17 @@ def load_lpips_params(path: str, backbone: str = ""):
             "tensors missing). Convert the torchvision VGG16 IMAGENET1K "
             "`features` state_dict with tools/convert_lpips.py and pass it "
             "as `backbone=` (or cfg.lpips_backbone)."
+        )
+    missing_lins = [
+        f"lin{si}" for si in range(len(VGG16_STAGES)) if f"lin{si}" not in params
+    ]
+    if missing_lins:
+        raise ValueError(
+            f"LPIPS weights at {path!r} lack the learned calibration heads "
+            f"({', '.join(missing_lins)}). A backbone-only npz is not a "
+            "usable LPIPS: convert the reference's "
+            "third_parties/lpips/weights/v0.1/vgg.pth with "
+            "tools/convert_lpips.py and pass it as the main path (the "
+            "backbone npz goes in `backbone=`)."
         )
     return params

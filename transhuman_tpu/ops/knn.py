@@ -59,11 +59,15 @@ def dparf_dense_weights(d2, k: int, alpha: float, aux=None, precision=None):
     """Streaming top-k + softmax + dense-weight build in one loop over k.
 
     d2: (N, C) squared distances.  Returns (w_dense (N, C) rows summing to 1
-    with exactly k nonzeros, dist (N, k) euclidean ascending, aux_k), where
-    aux_k is None or, given `aux` (C, A), the per-neighbour rows
-    (N, k, A) = aux[idx] — materialized via per-iteration one-hot *matmuls*
-    on the MXU instead of row gathers (measured 4x+ faster than XLA's
-    gather for these 12-48 B rows on v5e).
+    with exactly k nonzeros, dist (N, k) euclidean ascending, aux_k,
+    w_knn (N, k)), where aux_k is None or, given `aux` (C, A), the
+    per-neighbour rows (N, k, A) = aux[idx] — materialized via per-iteration
+    one-hot *matmuls* on the MXU instead of row gathers (measured 4x+ faster
+    than XLA's gather for these 12-48 B rows on v5e).  w_knn is the SAME
+    normalized softmax weight per neighbour that w_dense scatters — callers
+    needing the compact (N, k) form (the DPaRF PE aggregation) must use it
+    rather than recompute softmax(-dist/alpha), so the two aggregations can
+    never diverge.
 
     Equivalent to softmax(-sqrt(topk)/alpha) scattered to dense columns, but
     the full matrix is touched only by the k argmin/mask passes — no (N, C)
@@ -76,7 +80,7 @@ def dparf_dense_weights(d2, k: int, alpha: float, aux=None, precision=None):
     w_dense = jnp.zeros((n, c), d2.dtype)
     u_sum = jnp.zeros((n,), d2.dtype)
     d0 = None
-    dists, auxs = [], []
+    dists, us, auxs = [], [], []
     for _ in range(k):
         a = jnp.argmin(cur, axis=-1).astype(jnp.int32)
         v = jnp.min(cur, axis=-1)
@@ -88,14 +92,16 @@ def dparf_dense_weights(d2, k: int, alpha: float, aux=None, precision=None):
         w_dense = w_dense + jnp.where(sel, u[:, None], 0.0)
         u_sum = u_sum + u
         dists.append(d_i)
+        us.append(u)
         if aux is not None:
             auxs.append(
                 jnp.matmul(sel.astype(aux.dtype), aux, precision=precision)
             )
         cur = jnp.where(sel, jnp.inf, cur)
     w_dense = w_dense / u_sum[:, None]
+    w_knn = jnp.stack(us, -1) / u_sum[:, None]
     aux_k = jnp.stack(auxs, axis=1) if aux is not None else None
-    return w_dense, jnp.stack(dists, -1), aux_k
+    return w_dense, jnp.stack(dists, -1), aux_k, w_knn
 
 
 def knn(pts, refs, k: int, precision=None):
