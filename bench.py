@@ -157,12 +157,11 @@ def bench_render():
     flops, hbm = _cost_analysis(render, params, frame, rays)
 
     # opt-in per-vertex-radii row (see RADII_REACH above): tighter reach ->
-    # smaller decode capacity -> fewer descriptors on the issue-bound path
-    from transhuman_tpu.render.pipeline import RenderPipeline
-
-    pipe_r = RenderPipeline(
-        model, cluster, smpl.v_template, n_samples=N_SAMPLES,
-        chunk_rays=CHUNK_RAYS, compact_ratio=RADII_RATIO,
+    # smaller decode capacity -> fewer descriptors on the issue-bound path.
+    # clone() shares the shell pipe's fine-cull partition / PE table so the
+    # two rows can only differ by the radii + ratio being measured.
+    pipe_r = pipe.clone(
+        compact_ratio=RADII_RATIO,
         vertex_radii=np.full(smpl.v_template.shape[0], RADII_REACH,
                              np.float32),
     )
@@ -245,13 +244,10 @@ def bench_train_step():
     # opt-in culled-training row (cfg.train.cull, docs/SCALING.md): same
     # step with the decode culled+compacted at ratio 0.25 — a deliberate
     # semantics change (off-body points get no gradient), reported as a
-    # separate field, overflow-asserted
-    from transhuman_tpu.render.pipeline import RenderPipeline
-
-    pipe_c = RenderPipeline.__new__(RenderPipeline)
-    pipe_c.__dict__.update(pipe.__dict__)
-    pipe_c.train_cull = True
-    pipe_c.train_cull_ratio = 0.25
+    # separate field, overflow-asserted on EVERY step read back (the
+    # per-step stratified jitter re-rolls the survivor count, so a
+    # warmup-only assert would not certify the timed steps)
+    pipe_c = pipe.clone(train_cull=True, train_cull_ratio=0.25)
     step_c = make_train_step(pipe_c, tx, lpips_fn=lpips_fn, donate=False)
     state_c, stats_c = step_c(init_state(params, tx), batch,
                               jax.random.PRNGKey(0))
@@ -267,10 +263,17 @@ def bench_train_step():
             )
         float(stats_c["loss"])
         times_c.append((time.perf_counter() - t0) / n_chain)
+        # outside the timed window; only the tail step's stats survive the
+        # chain, so this certifies the capacity at 1-in-n_chain granularity
+        # (stats of intermediate steps are overwritten device-side)
+        assert float(stats_c["overflow"]) == 0.0, (
+            f"train.cull capacity clipped during timed rep {r}")
 
+    # field name derives from the knob so retuning the ratio can't leave a
+    # stale label (same rule as the radii field above)
+    key_c = f"train_step_sec_culled_{pipe_c.train_cull_ratio}"
     return (float(np.median(times)), flops, hbm,
-            {"train_step_sec_culled_0.25": round(float(np.median(times_c)),
-                                                 4)})
+            {key_c: round(float(np.median(times_c)), 4)})
 
 
 def bench_eval_protocol(n_frames=6):

@@ -41,10 +41,25 @@ def tiny():
 def _clone_with_radii(pipe, radii):
     # the fine cull partition is geometry-only (radii enter
     # _prefilter_tables per call), so clones share it
-    p2 = RenderPipeline.__new__(RenderPipeline)
-    p2.__dict__.update(pipe.__dict__)
-    p2.vertex_radii = np.asarray(radii, np.float32)
-    return p2
+    return pipe.clone(vertex_radii=np.asarray(radii, np.float32))
+
+
+def test_clone_validates_and_shares(tiny):
+    """RenderPipeline.clone applies __init__'s radii validation, rejects
+    typo'd knobs, and shares the geometry-only precomputes."""
+    model, pipe, frame, smpl, cluster, params, rays = tiny
+    with pytest.raises(ValueError, match="vertex_radii has"):
+        pipe.clone(vertex_radii=np.full(7, 0.1, np.float32))
+    with pytest.raises(ValueError, match="positive and finite"):
+        pipe.clone(vertex_radii=np.zeros(400, np.float32))
+    with pytest.raises(AttributeError, match="trian_cull"):
+        pipe.clone(trian_cull=True)  # typo must not create a dead attribute
+    c = pipe.clone(compact_ratio=0.5,
+                   vertex_radii=np.full(400, 0.05, np.float32))
+    assert c is not pipe and c.compact_ratio == 0.5
+    assert pipe.compact_ratio == 0.6  # original untouched
+    assert c._canon_verts is pipe._canon_verts  # geometry shared, not copied
+    assert c.pe_can is pipe.pe_can
 
 
 def test_uniform_radii_match_shell_render(tiny):

@@ -26,7 +26,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from transhuman_tpu.render.pipeline import RenderPipeline, pad_rays
+from transhuman_tpu.render.pipeline import pad_rays
 from transhuman_tpu.testing import init_params, synthetic_rays, synthetic_setup
 
 N_RAYS = 65_536
@@ -37,11 +37,10 @@ CHUNK_RAYS = 512
 def clone(pipe, radii, ratio):
     # the fine cull partition is geometry-only (radii enter
     # _prefilter_tables per call), so clones share it
-    p2 = RenderPipeline.__new__(RenderPipeline)
-    p2.__dict__.update(pipe.__dict__)
-    p2.vertex_radii = None if radii is None else np.asarray(radii, np.float32)
-    p2.compact_ratio = ratio
-    return p2
+    return pipe.clone(
+        vertex_radii=None if radii is None else np.asarray(radii, np.float32),
+        compact_ratio=ratio,
+    )
 
 
 def timed(render, params, frame, rays, iters):

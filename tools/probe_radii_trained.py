@@ -35,7 +35,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from transhuman_tpu.render.pipeline import RenderPipeline, pad_rays
+from transhuman_tpu.render.pipeline import pad_rays
 from transhuman_tpu.testing import init_params, synthetic_rays, synthetic_setup
 from transhuman_tpu.train import TrainSample, make_optimizer, make_train_step
 from transhuman_tpu.train.step import init_state
@@ -164,13 +164,9 @@ def main():
 
     rays_e = jax.tree.map(jnp.asarray,
                           pad_rays(synthetic_rays(N_RAYS_EVAL), 512))
-    base_pipe = RenderPipeline.__new__(RenderPipeline)
-    base_pipe.__dict__.update(pipe.__dict__)
-    base_pipe.compact_ratio = 0.1875
+    base_pipe = pipe.clone(compact_ratio=0.1875)
 
-    tight = RenderPipeline.__new__(RenderPipeline)
-    tight.__dict__.update(pipe.__dict__)
-    tight.vertex_radii = radii  # partition is geometry-only: share it
+    tight = pipe.clone(vertex_radii=radii)  # partition is geometry-only: share it
     sup, ex, n = make_counts_fn(tight)(frame_d, rays_e)
     frac = float(sup) / int(n)
     tight.compact_ratio = min(0.5, round(frac * 1.12 + 1e-3, 4))

@@ -24,7 +24,6 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from transhuman_tpu.render.pipeline import RenderPipeline
 from transhuman_tpu.testing import init_params, synthetic_rays, synthetic_setup
 from transhuman_tpu.train import TrainSample, make_optimizer, make_train_step
 from transhuman_tpu.train.step import init_state
@@ -36,11 +35,7 @@ def build(train_cull, ratio):
         dtype=jnp.bfloat16,
     )
     if train_cull:
-        p2 = RenderPipeline.__new__(RenderPipeline)
-        p2.__dict__.update(pipe.__dict__)
-        p2.train_cull = True
-        p2.train_cull_ratio = ratio
-        pipe = p2
+        pipe = pipe.clone(train_cull=True, train_cull_ratio=ratio)
     params = init_params(model, frame, 300, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     sample = TrainSample(

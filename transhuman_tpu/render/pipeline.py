@@ -111,6 +111,20 @@ class Prologue:
     pixel_scale: Optional[jax.Array] = None  # (384,) dequant scale (int8 mode)
 
 
+def _validate_radii(vertex_radii, n_verts: int):
+    """Validate (Nv,) per-vertex cull radii; None passes through."""
+    if vertex_radii is None:
+        return None
+    vr = np.asarray(vertex_radii, np.float32).reshape(-1)
+    if vr.shape[0] != n_verts:
+        raise ValueError(
+            f"vertex_radii has {vr.shape[0]} entries for {n_verts} vertices"
+        )
+    if (vr <= 0).any() or not np.isfinite(vr).all():
+        raise ValueError("vertex_radii must be positive and finite")
+    return vr
+
+
 class RenderPipeline:
     """Stateless function factory closing over static model/cluster config."""
 
@@ -178,17 +192,9 @@ class RenderPipeline:
         self.compact_ratio = compact_ratio
         self.use_pallas_cull = False  # XLA's blocked scan is VPU-bound and on par
         self.cull_distance = cull_distance
-        self.vertex_radii = None
-        if vertex_radii is not None:
-            vr = np.asarray(vertex_radii, np.float32).reshape(-1)
-            if vr.shape[0] != np.asarray(canonical_verts).shape[0]:
-                raise ValueError(
-                    f"vertex_radii has {vr.shape[0]} entries for "
-                    f"{np.asarray(canonical_verts).shape[0]} vertices"
-                )
-            if (vr <= 0).any() or not np.isfinite(vr).all():
-                raise ValueError("vertex_radii must be positive and finite")
-            self.vertex_radii = vr
+        self.vertex_radii = _validate_radii(
+            vertex_radii, np.asarray(canonical_verts).shape[0]
+        )
         self.white_bkgd = white_bkgd
         self.raw_noise_std = raw_noise_std
         self.pool = jnp.asarray(cluster.pool_matrix)  # (C, Nv)
@@ -218,6 +224,31 @@ class RenderPipeline:
             self.pe_can = jnp.asarray(
                 embed_vit_pos(pe_can, model.embed_dim), jnp.float32
             )
+
+    def clone(self, **overrides):
+        """Shallow clone sharing the geometry-only precomputes (fine-cull
+        partition, canonical verts, PE table) — the sanctioned way to derive
+        a variant pipe (radii/compaction/train-cull knobs) without re-running
+        the lazy kmeans.  `vertex_radii` goes through the same validation as
+        __init__; other overrides must name existing attributes (a typo'd
+        knob raises instead of silently creating a dead attribute).
+
+        NOTE: a previously jitted bound method of the ORIGINAL pipe is not
+        affected, but re-jitting the clone's method is safe — clones are new
+        objects, so pjit's bound-method trace cache cannot alias them.
+        """
+        import copy as _copy
+
+        p2 = _copy.copy(self)
+        for k, v in overrides.items():
+            if not hasattr(self, k):
+                raise AttributeError(
+                    f"RenderPipeline.clone: unknown attribute {k!r}"
+                )
+            if k == "vertex_radii":
+                v = _validate_radii(v, self._canon_verts.shape[0])
+            setattr(p2, k, v)
+        return p2
 
     # -- prologue ------------------------------------------------------
     def prologue(self, params, frame: FrameInputs) -> Prologue:

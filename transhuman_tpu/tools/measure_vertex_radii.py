@@ -196,13 +196,9 @@ def report_deltas(pipe, params, radii, items):
     import jax
     import jax.numpy as jnp
 
-    from ..render.pipeline import RenderPipeline
-
-    tight = RenderPipeline.__new__(RenderPipeline)
-    tight.__dict__.update(pipe.__dict__)
-    tight.vertex_radii = np.asarray(radii, np.float32)
     # the fine cull partition (cull_assign/cull_pool) is geometry-only —
     # radii enter _prefilter_tables per call — so the clone SHARES it
+    tight = pipe.clone(vertex_radii=np.asarray(radii, np.float32))
 
     base_fn = jax.jit(pipe.render_frame_dense)
     tight_fn = jax.jit(tight.render_frame_dense)
