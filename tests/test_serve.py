@@ -158,6 +158,90 @@ def test_wrong_vertex_count(service):
         parse_render_request(req, svc.cfg, smpl)
 
 
+def test_malformed_scalars_and_geometry_are_request_errors(service):
+    """H as a string / poses of the wrong length must be 400s, not 500s
+    from bare int()/reshape failures deep in the stack."""
+    svc, frame, smpl = service
+    req = _request_arrays(frame)
+    req["H"] = np.asarray("tall")  # npz can carry string arrays
+    with pytest.raises(RequestError, match="scalar int"):
+        parse_render_request(req, svc.cfg, smpl)
+    req = _request_arrays(frame)
+    req["W"] = np.asarray([32, 32])  # multi-element
+    with pytest.raises(RequestError, match="scalar int"):
+        parse_render_request(req, svc.cfg, smpl)
+    req = _request_arrays(frame)
+    del req["verts_world"], req["blend_rot"]
+    req["poses"] = np.zeros(66, np.float32)  # 66 != 72
+    req["shapes"] = np.zeros(10, np.float32)
+    with pytest.raises(RequestError, match="poses"):
+        parse_render_request(req, svc.cfg, smpl)
+    req["poses"] = np.zeros(72, np.float32)
+    req["shapes"] = np.zeros(12, np.float32)  # 12 != 10
+    with pytest.raises(RequestError, match="shapes"):
+        parse_render_request(req, svc.cfg, smpl)
+
+
+def test_uint16_images_are_rescaled(service):
+    """Any integer dtype is a [0, max] image; uint16 must not pass through
+    as raw 0..65535 'floats' (garbage render with a 200)."""
+    svc, frame, smpl = service
+    req = _request_arrays(frame)
+    img01 = np.clip(np.asarray(frame.images), 0, 1)
+    req["images"] = (img01 * 65535).astype(np.uint16)
+    f, _, _ = parse_render_request(req, svc.cfg, smpl)
+    assert float(np.abs(f.images).max()) <= 1.0
+    np.testing.assert_allclose(
+        np.asarray(f.images), img01, atol=1 / 65534.0)
+
+
+def test_overload_and_shutdown_are_bounded(service):
+    """Queue-full -> OverloadedError (503, retryable) and shutdown never
+    blocks on a full queue (worker wedged/dead)."""
+    import threading
+
+    from transhuman_tpu.serve import OverloadedError
+
+    svc, frame, _ = service
+    server = RenderServer(svc, port=0, max_queue=1)
+    # start ONLY the http thread; the never-started worker models a wedged
+    # executor, so the queue stays full deterministically
+    threading.Thread(target=server.httpd.serve_forever, daemon=True).start()
+    good = _request_arrays(frame)
+    fut1 = server.submit(good)       # occupies the single slot
+    fut2 = server.submit(good)       # queue full -> immediate overload
+    with pytest.raises(OverloadedError, match="queue full"):
+        fut2.result(timeout=1)
+    assert fut1.cancel()             # client timed out and abandoned it
+    # shutdown must shed the remaining (cancelled) item and return promptly
+    # (put(_STOP) used to block forever behind the full queue)
+    server.shutdown()
+    server.httpd.server_close()
+    assert fut1.cancelled()
+
+
+def test_worker_skips_cancelled_requests(service):
+    """A request whose client already timed out (cancelled future) must not
+    burn device time: the worker skips it and serves the live one."""
+    svc, frame, _ = service
+    server = RenderServer(svc, port=0, max_queue=4)
+    good = _request_arrays(frame)
+    dead = server.submit(good)
+    assert dead.cancel()             # abandoned before the worker starts
+    live = server.submit(good)
+    n0 = svc.n_rendered
+    server._worker.start()           # worker only; no http needed here
+    out = live.result(timeout=300)
+    assert out["rgb"].shape == (HW, HW, 3)
+    assert svc.n_rendered == n0 + 1  # the dead request was never rendered
+    assert dead.cancelled()
+    from transhuman_tpu.serve import _STOP
+
+    server._q.put(_STOP)
+    server._worker.join(timeout=60)
+    server.httpd.server_close()
+
+
 def test_http_roundtrip(service):
     svc, frame, _ = service
     server = RenderServer(svc, port=0)

@@ -261,10 +261,15 @@ def sample_train_rays_random(
     )
 
 
-def sample_eval_rays(img, K, R, T, can_bounds) -> EvalRays:
+def sample_eval_rays(img, K, R, T, can_bounds, hw=None) -> EvalRays:
     """Every pixel whose ray intersects the world AABB
-    (sample_ray_h36m test branch, if_nerf_data_utils.py:272-284)."""
-    H, W = img.shape[:2]
+    (sample_ray_h36m test branch, if_nerf_data_utils.py:272-284).
+
+    img may be None when no ground truth exists (the serving path renders
+    novel views): pass the resolution via `hw` and `.rgb` comes back as
+    zeros of the masked size — this avoids allocating an (H, W, 3) dummy
+    image per request just to carry the shape (768 MB at the 8192 cap)."""
+    H, W = img.shape[:2] if img is not None else hw
     ray_o, ray_d = get_rays_cached(H, W, K, R, T)
     ray_o = ray_o.reshape(-1, 3)
     ray_d = ray_d.reshape(-1, 3)
@@ -282,6 +287,8 @@ def sample_eval_rays(img, K, R, T, can_bounds) -> EvalRays:
     return EvalRays(
         rays=rays,
         pix_idx=pix_idx,
-        rgb=img.reshape(-1, 3)[mask_at_box].astype(np.float32),
+        rgb=(img.reshape(-1, 3)[mask_at_box].astype(np.float32)
+             if img is not None
+             else np.zeros((pix_idx.shape[0], 3), np.float32)),
         mask_at_box=mask_at_box,
     )

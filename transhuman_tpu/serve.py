@@ -49,6 +49,7 @@ import threading
 import time
 from collections import deque
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -61,6 +62,12 @@ from .render.pipeline import FrameInputs
 
 class RequestError(ValueError):
     """Bad client payload (mapped to HTTP 400)."""
+
+
+class OverloadedError(RuntimeError):
+    """Server saturated (mapped to HTTP 503 + Retry-After): the request was
+    well-formed; a retry against a less-loaded replica is the right move,
+    so it must NOT be reported as a 4xx client error."""
 
 
 def _as_f32(d, key, shape_hint=None):
@@ -93,8 +100,13 @@ def parse_render_request(arrays: dict, cfg: Config, smpl) -> tuple:
     imgs = _as_f32(arrays, "images", "(V,H,W,3)")
     if imgs.ndim != 4 or imgs.shape[-1] != 3:
         raise RequestError(f"images must be (V,H,W,3), got {imgs.shape}")
-    if np.asarray(arrays["images"]).dtype == np.uint8:
-        imgs = imgs / 255.0
+    src_kind = np.asarray(arrays["images"]).dtype
+    if src_kind.kind in "iu":
+        # ANY integer dtype is a [0, max] image (uint8 from cv2, uint16
+        # from 16-bit PNG pipelines, ...); feeding raw 0..65535 values to
+        # the encoder as if they were [0,1] floats renders garbage with a
+        # 200 OK (same class of bug as the encode_jpeg uint16 clip)
+        imgs = imgs / float(np.iinfo(src_kind).max)
     v = imgs.shape[0]
     K = _shaped(arrays, "K", (v, 3, 3))
     R = _shaped(arrays, "R", (v, 3, 3))
@@ -120,9 +132,12 @@ def parse_render_request(arrays: dict, cfg: Config, smpl) -> tuple:
         if blend_rot.shape[0] != verts_world.shape[0]:
             raise RequestError("blend_rot rows != verts_world rows")
     elif "poses" in arrays:
+        # pin the documented shapes HERE: a 66-element poses array must be
+        # a 400, not a 500 from a bare reshape deep inside SMPLModel
+        n_shape = smpl.shapedirs.shape[-1]
         verts_smpl, _, blend = smpl(
-            _shaped(arrays, "poses", (-1,)),
-            _shaped(arrays, "shapes", (-1,)),
+            _shaped(arrays, "poses", (72,)),
+            _shaped(arrays, "shapes", (n_shape,)),
         )
         # zju stores world verts; smpl coords are (w - Th) @ Rh, so
         # w = smpl @ Rh.T + Th (data/zju.py:388)
@@ -151,8 +166,16 @@ def parse_render_request(arrays: dict, cfg: Config, smpl) -> tuple:
     tK = _shaped(arrays, "tK", (3, 3))
     tR = _shaped(arrays, "tR", (3, 3))
     tT = _shaped(arrays, "tT", (3,))
-    H = int(arrays["H"]) if "H" in arrays else cfg.H_render
-    W = int(arrays["W"]) if "W" in arrays else cfg.W_render
+    def _scalar_int(key, default):
+        if key not in arrays:
+            return default
+        try:
+            return int(np.asarray(arrays[key]).reshape(()))
+        except (ValueError, TypeError) as e:
+            raise RequestError(f"{key} must be a scalar int: {e}") from e
+
+    H = _scalar_int("H", cfg.H_render)
+    W = _scalar_int("W", cfg.W_render)
     if not (8 <= H <= 8192 and 8 <= W <= 8192):
         raise RequestError(f"unreasonable resolution {H}x{W}")
     return frame, (tK, tR, tT), (H, W)
@@ -179,8 +202,9 @@ class RenderService:
         frame, (tK, tR, tT), (H, W) = parse_render_request(
             arrays, self.cfg, self.smpl)
         er = sample_eval_rays(
-            np.zeros((H, W, 3), np.float32), tK, tR, tT.reshape(3, 1),
+            None, tK, tR, tT.reshape(3, 1),
             world_bounds(frame.verts_world, self.cfg.big_box),
+            hw=(H, W),  # no GT image exists; don't allocate a dummy one
         )
         if er.rays.ray_o.shape[0] == 0:
             raise RequestError(
@@ -210,7 +234,14 @@ class RenderService:
         return self.fetch(self.dispatch(arrays))
 
     def warmup(self, H: int, W: int, n_views: int = 3):
-        """Pay the compile for (bucket, config) before the first request."""
+        """Pay the compile for (n_views, bucket, config) before the first
+        request.  The jit signature keys on the VIEW COUNT and the padded
+        RAY BUCKET (ceil(n_masked/pad_bucket)): a request with a different
+        view count, or whose camera/body coverage lands in a different
+        bucket than this warmup's T-pose at 2.5 m, still pays its own
+        compile (minutes through the tunnel) on first occurrence — pass the
+        production view count via main()'s cfg.test.input_view, and expect
+        one-off latency spikes on new buckets."""
         nv = self.smpl.v_template.shape[0]
         verts, _, blend = self.smpl(np.zeros(72), np.zeros(10))
         focal = 0.9 * max(H, W)
@@ -285,6 +316,11 @@ class RenderServer:
             cur = None
             if item is not None:
                 fut, arrays, t0 = item
+                # a client whose .result() timed out cancels its future;
+                # skip the abandoned render instead of burning device time
+                # on it exactly when the server is saturated
+                if not fut.set_running_or_notify_cancel():
+                    continue
                 try:
                     cur = (fut, svc.dispatch(arrays), t0)
                 except Exception as e:  # noqa: BLE001 — goes to the client
@@ -306,7 +342,7 @@ class RenderServer:
             self._q.put((fut, arrays, time.perf_counter()), timeout=30)
         except queue.Full:
             fut.set_exception(
-                RequestError("render queue full — server overloaded"))
+                OverloadedError("render queue full — server overloaded"))
         return fut
 
     # -- lifecycle -------------------------------------------------------
@@ -320,7 +356,21 @@ class RenderServer:
 
     def shutdown(self):
         self.httpd.shutdown()
-        self._q.put(_STOP)
+        # never block on a full queue (the worker may be wedged mid-compile
+        # or dead): shed queued work with a retryable error until the STOP
+        # sentinel fits — bounded by the queue size, then by the join cap
+        while True:
+            try:
+                self._q.put_nowait(_STOP)
+                break
+            except queue.Full:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    continue
+                if item is not _STOP and not item[0].cancelled():
+                    item[0].set_exception(
+                        OverloadedError("server shutting down"))
         if self._worker.is_alive():
             self._worker.join(timeout=60)
 
@@ -373,9 +423,30 @@ def _make_handler(server: RenderServer):
                                           allow_pickle=False))
                 except Exception as e:  # malformed client bytes -> 400
                     raise RequestError(f"body is not a readable npz: {e}")
-                out = server.submit(arrays).result(timeout=600)
+                fut = server.submit(arrays)
+                try:
+                    out = fut.result(timeout=600)
+                except FuturesTimeout:
+                    # abandon the render: if the worker hasn't started it,
+                    # the cancel lets it skip the dead work entirely
+                    fut.cancel()
+                    raise OverloadedError(
+                        "render timed out after 600 s (server saturated "
+                        "or compiling)")
             except RequestError as e:
                 self._json(400, {"error": str(e)})
+                return
+            except OverloadedError as e:
+                # retryable server condition: 503 + Retry-After, NOT a 4xx
+                # (clients/load balancers must shed to a replica, not treat
+                # the request as permanently malformed)
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(503)
+                self.send_header("Retry-After", "30")
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
                 return
             except Exception as e:  # noqa: BLE001 — surfaced, not hidden
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
@@ -406,7 +477,7 @@ def _make_handler(server: RenderServer):
 
 
 def main(argv=None) -> int:
-    from .cli.common import build_runtime, load_smpl, model_dir, parse_args
+    from .cli.common import build_runtime, model_dir, parse_args
 
     args = list(sys.argv[1:] if argv is None else argv)
 
@@ -427,21 +498,22 @@ def main(argv=None) -> int:
         args.remove("--no_warmup")
 
     _, cfg = parse_args(args)
-    smpl = load_smpl(cfg)
     from .train.checkpoint import load_checkpoint
 
     ckpt = load_checkpoint(model_dir(cfg), cfg.test.epoch)
     if ckpt is None:
         raise FileNotFoundError(f"no checkpoint in {model_dir(cfg)}")
-    model, pipe, smpl, _ = build_runtime(
-        cfg, smpl=smpl, pe_table=ckpt.get("pe_table"))
+    # build_runtime loads the SMPL model itself when smpl=None
+    model, pipe, smpl, _ = build_runtime(cfg, pe_table=ckpt.get("pe_table"))
     params, epoch = ckpt["params"], ckpt["epoch"]
     print(f"serve: checkpoint epoch {int(epoch)}, "
           f"exp {cfg.exp_name!r}, {host}:{port}")
 
     svc = RenderService(cfg, pipe, params, smpl)
     if not no_warmup:
-        svc.warmup(cfg.H_render, cfg.W_render)
+        # compile for the production view count (jit keys on it)
+        svc.warmup(cfg.H_render, cfg.W_render,
+                   n_views=max(1, len(cfg.test.input_view)))
     server = RenderServer(svc, host=host, port=port)
     print(f"serve: listening on http://{host}:{server.port}  "
           "(GET /healthz, GET /stats, POST /render)")
