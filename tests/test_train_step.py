@@ -403,6 +403,40 @@ def test_train_cull_composes_with_remat(tiny):
     )
 
 
+def test_train_cull_composes_with_vertex_radii(tiny):
+    """train.cull shares the inference cull predicate (_cull), so per-vertex
+    radii (cfg.cull_radii) tighten the TRAINING cull too: the radii-culled
+    compact step must (a) match its own mask-only oracle to the update
+    level when capacity holds, and (b) differ from the uniform-shell culled
+    step — the radii actually change which points receive gradient."""
+    pipe, params = tiny
+    rng = np.random.default_rng(3)
+    radii = np.full(NV, 0.05, np.float32)
+    radii[rng.choice(NV, NV // 4, replace=False)] = 0.5
+    oracle = pipe.clone(train_cull=True, train_cull_ratio=1.0,
+                        vertex_radii=radii)
+    compact = pipe.clone(train_cull=True, train_cull_ratio=0.9,
+                         vertex_radii=radii)
+    shell = pipe.clone(train_cull=True, train_cull_ratio=0.9,
+                       cull_distance=0.5)
+    tx, _ = make_optimizer(iters_per_epoch=2)
+    batch = stack_samples([make_sample(3)])
+    key = jax.random.PRNGKey(7)
+    state = init_state(params, tx)
+    so, st_o = make_train_step(oracle, tx, donate=False)(state, batch, key)
+    sc, st_c = make_train_step(compact, tx, donate=False)(state, batch, key)
+    _, st_s = make_train_step(shell, tx, donate=False)(state, batch, key)
+    assert float(st_c["overflow"]) == 0.0
+    np.testing.assert_allclose(float(st_c["loss"]), float(st_o["loss"]),
+                               rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+        sc.params, so.params,
+    )
+    assert abs(float(st_c["loss"]) - float(st_s["loss"])) > 0
+
+
 def test_all_reference_optimizers_build_and_step():
     """The reference factory's four options (optimizer.py:4-9) all make a
     working transform."""
