@@ -303,13 +303,11 @@ def test_remat_grads_match():
 
 
 def _cull_clone(pipe, ratio, cull_distance=None):
-    p2 = RenderPipeline.__new__(RenderPipeline)
-    p2.__dict__.update(pipe.__dict__)
-    p2.train_cull = True
-    p2.train_cull_ratio = ratio
+    # the product clone path (validated overrides), not a hand-rolled copy
+    kw = dict(train_cull=True, train_cull_ratio=ratio)
     if cull_distance is not None:
-        p2.cull_distance = cull_distance
-    return p2
+        kw["cull_distance"] = cull_distance
+    return pipe.clone(**kw)
 
 
 def test_train_cull_compact_matches_mask_oracle(tiny):
