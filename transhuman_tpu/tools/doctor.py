@@ -193,12 +193,20 @@ def check_checkpoint(d: Doctor, cfg: Config):
     from .. import cli
 
     mdir = os.path.join(cfg.trained_model_dir, cfg.task, cfg.exp_name)
-    latest = os.path.join(mdir, "latest.ckpt")
-    if os.path.exists(latest):
-        d.add(PASS, "checkpoint", latest)
+    # the loader accepts latest.ckpt OR any ep{N}.ckpt (picks test.epoch /
+    # max epoch) — flag only what load_checkpoint would actually reject
+    import glob
+
+    ckpts = sorted(glob.glob(os.path.join(mdir, "*.ckpt")))
+    if ckpts:
+        latest = os.path.join(mdir, "latest.ckpt")
+        d.add(PASS, "checkpoint",
+              latest if latest in ckpts else
+              f"{len(ckpts)} epoch ckpts (no latest.ckpt; loader picks "
+              f"test.epoch/max: {os.path.basename(ckpts[-1])})")
     elif cfg.run_mode == "test":
         d.add(FAIL, "checkpoint",
-              f"no latest.ckpt under {mdir} — eval/visualize need one "
+              f"no .ckpt under {mdir} — eval/visualize need one "
               "(convert the official .pth with tools/convert_checkpoint)")
     else:
         d.add(WARN, "checkpoint", f"none under {mdir} (fresh training run)")
