@@ -160,9 +160,16 @@ def main():
     radii_pipe = pipe.clone(train_cull=True, train_cull_ratio=ratio_r,
                             vertex_radii=radii)
 
-    # 4. chained step times, shell vs radii culled training
+    # 4. chained step times: shell at the DEFAULT capacity, shell at its
+    # OWN measured capacity (attribution row: separates what capacity
+    # sizing buys from what the radii buy on top), and radii-culled
+    ratio_s = min(1.0, round(frac_shell * args.margin + 1e-3, 4))
+    shell_sized = pipe.clone(train_cull=True, train_cull_ratio=ratio_s)
+    step_ss = make_train_step(shell_sized, tx, donate=False,
+                              patch_mode=False)
     step_r = make_train_step(radii_pipe, tx, donate=False, patch_mode=False)
     t_shell, over_s = chain_time(step_s, state, batches)
+    t_shell_sized, over_ss = chain_time(step_ss, state, batches)
     t_radii, over_r = chain_time(step_r, state, batches)
 
     # fine-tune under radii-cull: loss keeps decreasing, zero overflow
@@ -180,11 +187,15 @@ def main():
         "trained_steps": args.steps, "loss_trained": round(loss_trained, 5),
         "cull_fraction": {"shell": round(frac_shell, 4),
                           "radii": round(frac_radii, 4)},
-        "train_cull_ratio": {"shell": args.ratio, "radii": ratio_r},
+        "train_cull_ratio": {"shell": args.ratio, "shell_sized": ratio_s,
+                             "radii": ratio_r},
         "sec_per_step": {"shell_cull": round(t_shell, 4),
+                         "shell_cull_sized": round(t_shell_sized, 4),
                          "radii_cull": round(t_radii, 4)},
+        # radii-only attribution: sized-shell vs radii (same sizing rule)
+        "speedup_radii_over_sized_shell": round(t_shell_sized / t_radii, 3),
         "speedup_radii_over_shell": round(t_shell / t_radii, 3),
-        "chain_overflow": [over_s, over_r],
+        "chain_overflow": [over_s, over_ss, over_r],
         "finetune_losses": ft_losses,
         "finetune_overflow_max": max_over,
     }), flush=True)
