@@ -38,18 +38,27 @@ def test_synthetic_train_then_evaluate(tmp_path):
     assert summary["mse"] is not None and summary["mse"] >= 0
 
 
-def test_synthetic_train_with_cull(tmp_path):
-    """cfg.train.cull wires through the CLI: the culled+compacted training
-    decode runs end-to-end, reports the overflow stat, and checkpoints."""
+def test_synthetic_train_with_cull(tmp_path, capsys):
+    """cfg.train.cull wires through the CLI: train.cull_ratio 0 = AUTO
+    (capacity sized from the measured survivor fraction of the first train
+    samples — docs/SCALING.md attribution), then the culled+compacted
+    training decode runs end-to-end, reports the overflow stat, and
+    checkpoints."""
     from transhuman_tpu.cli import train as train_cli
 
     argv = _argv(tmp_path) + [
         "train.cull", "True",
-        "train.cull_ratio", "0.9",  # generous at this tiny scale
+        "train.cull_ratio", "0",  # auto: measure, don't default
         "cull_distance", "0.5",  # synthetic body: keep some survivors
     ]
     state = train_cli.main(argv)
     assert int(state.step) == 2
+    out = capsys.readouterr().out
+    assert "train.cull_ratio auto" in out
+    import re
+
+    ratio = float(re.search(r"-> ratio ([0-9.]+)", out).group(1))
+    assert 0 < ratio <= 1.0
     import os
 
     assert os.path.exists(str(tmp_path / "model"))

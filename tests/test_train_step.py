@@ -401,6 +401,45 @@ def test_train_cull_composes_with_remat(tiny):
     )
 
 
+def test_train_cull_auto_sentinel_raises(tiny):
+    """train.cull_ratio <= 0 is the CLI's 'auto' sentinel; tracing with it
+    would size the capacity at zero and silently drop every gradient, so
+    render_train must refuse loudly."""
+    import pytest
+
+    pipe, params = tiny
+    bad = _cull_clone(pipe, 0.0, cull_distance=0.5)
+    sample = make_sample(3)
+    with pytest.raises(ValueError, match="auto"):
+        bad.render_train(
+            params,
+            jax.tree.map(jnp.asarray, sample.frame),
+            jax.tree.map(jnp.asarray, sample.rays),
+            jax.random.PRNGKey(0),
+        )
+
+
+def test_train_cull_fraction_matches_predicate(tiny):
+    """train_cull_fraction (what sizes the auto ratio) equals the culled
+    decode's own keep-count over the same sample."""
+    pipe, params = tiny
+    from transhuman_tpu.render.pipeline import to_smpl
+    from transhuman_tpu.render.volume import sample_along_rays
+
+    sample = make_sample(5)
+    frame = jax.tree.map(jnp.asarray, sample.frame)
+    rays = jax.tree.map(jnp.asarray, sample.rays)
+    frac = float(jax.jit(pipe.train_cull_fraction)(frame, rays))
+    pts, _ = sample_along_rays(rays.ray_o, rays.ray_d, rays.near, rays.far,
+                               pipe.n_samples)
+    flat = pts.reshape(-1, 3)
+    keep = pipe._cull(to_smpl(frame, flat), frame.tar_verts_smpl)
+    m = jnp.repeat(rays.mask, pipe.n_samples)
+    want = float(jnp.sum(keep & m)) / flat.shape[0]
+    np.testing.assert_allclose(frac, want, atol=1e-7)
+    assert 0.0 <= frac <= 1.0
+
+
 def test_train_cull_composes_with_vertex_radii(tiny):
     """train.cull shares the inference cull predicate (_cull), so per-vertex
     radii (cfg.cull_radii) tighten the TRAINING cull too: the radii-culled

@@ -159,6 +159,28 @@ def main(argv=None, dataset=None, smpl=None):
         weight_decay=cfg.train.weight_decay,
         optim=cfg.train.optim,
     )
+    dataset = dataset or make_dataset(cfg, "train", smpl=smpl)
+
+    if pipe.train_cull and pipe.train_cull_ratio <= 0:
+        # train.cull_ratio <= 0 = "auto": size the culled-decode capacity
+        # from the MEASURED survivor fraction of the first train samples.
+        # Most of the culled-step win is capacity matching the data
+        # (docs/SCALING.md attribution table: 0.120 -> 0.101 s/step from
+        # sizing alone); the x1.3 margin covers jitter/pose wobble, and the
+        # step's overflow stat + trainer warning still guard a miss.
+        frac_fn = jax.jit(pipe.train_cull_fraction)
+        fracs = [
+            float(frac_fn(jax.tree.map(jnp.asarray, s.frame),
+                          jax.tree.map(jnp.asarray, s.rays)))
+            for s in (dataset.get_train_sample(i)
+                      for i in range(min(8, len(dataset))))
+        ]
+        ratio = min(1.0, round(max(fracs) * 1.3 + 1e-3, 4))
+        print(f"train.cull_ratio auto: survivor fraction "
+              f"max {max(fracs):.4f} over {len(fracs)} samples "
+              f"-> ratio {ratio}")
+        pipe = pipe.clone(train_cull_ratio=ratio)
+
     step_kw = dict(
         lpips_fn=lpips_fn,
         l2_weight=cfg.l2rec_weight, lpips_weight=cfg.lpips_weight,
@@ -174,8 +196,6 @@ def main(argv=None, dataset=None, smpl=None):
         from ..registry import TRAINERS
 
         step_fn = TRAINERS.get(cfg.trainer)(pipe, tx, mesh=mesh, **step_kw)
-
-    dataset = dataset or make_dataset(cfg, "train", smpl=smpl)
     # cfg.use_record gates the metrics stream only (the reference's
     # tensorboard writer gate, recorder.py:49); the console line always prints
     recorder = Recorder(cfg.record_dir, cfg.record_interval, cfg.log_interval,

@@ -504,6 +504,16 @@ class RenderPipeline:
             qp = jax.checkpoint(qp)
         flat = pts.reshape(r * s, 3)
         overflow = None
+        if self.train_cull and self.train_cull_ratio <= 0:
+            # ratio <= 0 means "auto" and must be RESOLVED before stepping
+            # (cli/train.py measures it from the first train samples via
+            # train_cull_fraction); tracing with it would size the capacity
+            # at zero and silently drop every gradient
+            raise ValueError(
+                "train.cull_ratio <= 0 is the 'auto' sentinel — resolve it "
+                "first (the train CLI measures the survivor fraction; "
+                "library users: pipe.train_cull_fraction + clone())"
+            )
         if self.train_cull:
             # cull+compact the TRAINING decode (cfg.train.cull — a
             # deliberate semantics change; the reference trains unculled,
@@ -557,6 +567,23 @@ class RenderPipeline:
         if overflow is not None:
             out["overflow"] = overflow
         return out
+
+    def train_cull_fraction(self, frame: FrameInputs, rays: RayBundle):
+        """Exact train-cull survivor fraction of ONE sample's points (jit
+        me): what sizes `train.cull_ratio`.  Measured > defaulted — most of
+        the culled-step win comes from capacity matching the data
+        (docs/SCALING.md attribution table); the train CLI resolves
+        `train.cull_ratio <= 0` ("auto") through this over the first train
+        samples.  Unjittered points (the jitter only moves samples within
+        their stratified bins, a ~1% wobble the sizing margin covers)."""
+        pts, _ = sample_along_rays(
+            rays.ray_o, rays.ray_d, rays.near, rays.far, self.n_samples
+        )
+        n = pts.shape[0] * self.n_samples
+        flat = pts.reshape(n, 3)
+        keep = self._cull(to_smpl(frame, flat), frame.tar_verts_smpl)
+        m = jnp.repeat(rays.mask, self.n_samples)
+        return jnp.sum(keep & m) / n
 
     # -- inference path (chunk scan + SMPL culling) ---------------------
     def render_frame(self, params, frame: FrameInputs, rays: RayBundle):
