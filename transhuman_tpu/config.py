@@ -89,9 +89,12 @@ class TrainConfig:
     # Monitor the 'overflow' stat (must stay 0) and see docs/SCALING.md.
     cull_ratio: float = 0.35  # static decode capacity as a fraction of
     # rays*samples when train.cull is on; >= 1.0 decodes every point with
-    # culled ones masked (the semantics oracle, no compaction speedup).
-    # Clipped points beyond capacity lose contribution AND gradient, so
-    # size it generously (measure with tools/measure_compact_ratio).
+    # culled ones masked (the semantics oracle, no compaction speedup);
+    # <= 0 = AUTO — the train CLI sizes it from the measured survivor
+    # fraction of the first train samples (recommended; docs/SCALING.md
+    # attribution table — most of the culled-step win is capacity matching
+    # the data).  Clipped points beyond capacity lose contribution AND
+    # gradient; the step's 'overflow' stat + trainer warning guard a miss.
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
 
 
